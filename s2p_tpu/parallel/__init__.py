@@ -1,0 +1,19 @@
+from s2p_tpu.parallel.mesh import (
+    MeshSpec,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_pytree,
+    local_device_count,
+)
+
+__all__ = [
+    "MeshSpec",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_pytree",
+    "local_device_count",
+]
