@@ -1,0 +1,61 @@
+"""GAN loss functions — hinge adversarial + feature matching + L1 (+ VGG).
+
+Spec: /root/reference/rebuttal.md:71,130-138,187-190 (L1 + adversarial +
+VGG perceptual) and BASELINE.json (hinge + feature-matching, SPADE lineage).
+All terms are plain jnp reductions so XLA fuses them into the surrounding
+G/D train steps; there is no host round-trip per loss term.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GANLossConfig:
+    lambda_l1: float = 10.0
+    lambda_feat: float = 10.0
+    lambda_vgg: float = 10.0
+    lambda_gan: float = 1.0
+
+
+def hinge_d_loss(real_logits: List[jax.Array], fake_logits: List[jax.Array]) -> jax.Array:
+    """mean over scales of E[relu(1−D(real))] + E[relu(1+D(fake))]."""
+    loss = 0.0
+    for r, f in zip(real_logits, fake_logits):
+        loss = loss + jnp.mean(jax.nn.relu(1.0 - r)) + jnp.mean(jax.nn.relu(1.0 + f))
+    return loss / len(real_logits)
+
+
+def hinge_g_loss(fake_logits: List[jax.Array]) -> jax.Array:
+    """mean over scales of −E[D(fake)]."""
+    loss = 0.0
+    for f in fake_logits:
+        loss = loss - jnp.mean(f)
+    return loss / len(fake_logits)
+
+
+def feature_matching_loss(
+    real_feats: List[List[jax.Array]], fake_feats: List[List[jax.Array]]
+) -> jax.Array:
+    """L1 between D's intermediate features on real vs fake, averaged over
+    layers and scales (pix2pixHD convention; logits excluded)."""
+    loss = 0.0
+    n_scales = len(real_feats)
+    for rs, fs in zip(real_feats, fake_feats):
+        n_layers = len(rs) - 1  # last entry is the logit map
+        for r, f in zip(rs[:-1], fs[:-1]):
+            loss = loss + jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r))) / n_layers
+    return loss / n_scales
+
+
+def l1_loss(fake: jax.Array, real: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(fake - real))
+
+
+def logits_of(disc_feats: List[List[jax.Array]]) -> List[jax.Array]:
+    return [fs[-1] for fs in disc_feats]

@@ -1,0 +1,172 @@
+"""S2P GAN training — alternating G/D updates in one compiled step.
+
+Reference surface: ``train.py --dataroot=./datasets/cheetah.hdf5
+--env_type=cheetah --netG=s2p --batchSize=16`` (/root/reference/README.md:59).
+Losses per rebuttal.md:71,130-138 + BASELINE.json: hinge adversarial +
+feature matching + L1 + VGG perceptual.
+
+TPU-first: the D update and the G update are a single jitted function —
+the generator forward is computed once for the D step and once (with
+gradients) for the G step, and XLA schedules both on-device with no host
+sync between them. Batches enter as uint8 and are normalized to [-1, 1]
+inside the step (keeps host→device traffic at 1 byte/pixel). Data
+parallelism = shard the batch dim over the mesh 'data' axis; gradient
+psums are inserted by XLA from the shardings (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from s2p_tpu.gan.discriminator import MultiscaleDiscriminator
+from s2p_tpu.gan.generator import S2PGenerator
+from s2p_tpu.gan.losses import (
+    GANLossConfig,
+    feature_matching_loss,
+    hinge_d_loss,
+    hinge_g_loss,
+    l1_loss,
+    logits_of,
+)
+from s2p_tpu.gan.perceptual import PerceptualLoss
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class GANOptConfig:
+    """SPADE-style TTUR defaults (G slower than D)."""
+
+    g_lr: float = 1e-4
+    d_lr: float = 4e-4
+    beta1: float = 0.0
+    beta2: float = 0.999
+
+
+@dataclasses.dataclass(eq=False)  # identity hash so jit can treat self static
+class GANTrainer:
+    """Owns G/D modules + states and the compiled train step."""
+
+    generator: S2PGenerator
+    discriminator: MultiscaleDiscriminator
+    g_state: TrainState
+    d_state: TrainState
+    perceptual: Optional[PerceptualLoss]
+    loss_cfg: GANLossConfig
+
+    @classmethod
+    def create(
+        cls,
+        rng: jax.Array,
+        state_dim: int,
+        image_size: int = 64,
+        channels: int = 3,
+        generator_kwargs: Optional[Dict[str, Any]] = None,
+        discriminator_kwargs: Optional[Dict[str, Any]] = None,
+        opt_cfg: GANOptConfig = GANOptConfig(),
+        loss_cfg: GANLossConfig = GANLossConfig(),
+        use_perceptual: bool = True,
+        vgg_variables: Any = None,
+    ) -> "GANTrainer":
+        gen = S2PGenerator(image_size=image_size, out_channels=channels,
+                           **(generator_kwargs or {}))
+        disc = MultiscaleDiscriminator(**(discriminator_kwargs or {}))
+        g_rng, d_rng, v_rng = jax.random.split(rng, 3)
+        s = jnp.zeros((1, state_dim), jnp.float32)
+        img = jnp.zeros((1, image_size, image_size, channels), jnp.float32)
+        g_params = gen.init(g_rng, s, img)
+        d_params = disc.init(d_rng, s, img, img)
+        g_state = TrainState.create(
+            apply_fn=gen.apply, params=g_params,
+            tx=optax.adam(opt_cfg.g_lr, b1=opt_cfg.beta1, b2=opt_cfg.beta2),
+        )
+        d_state = TrainState.create(
+            apply_fn=disc.apply, params=d_params,
+            tx=optax.adam(opt_cfg.d_lr, b1=opt_cfg.beta1, b2=opt_cfg.beta2),
+        )
+        perceptual = None
+        if use_perceptual:
+            perceptual = PerceptualLoss(
+                vgg_variables, image_shape=(image_size, image_size, channels),
+                seed=int(jax.random.randint(v_rng, (), 0, 2**31 - 1)),
+            )
+        return cls(gen, disc, g_state, d_state, perceptual, loss_cfg)
+
+    # -- compiled step ----------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _step(
+        self,
+        g_state: TrainState,
+        d_state: TrainState,
+        batch: Dict[str, jax.Array],
+    ) -> Tuple[TrainState, TrainState, Dict[str, jax.Array]]:
+        prev = _to_signed(batch["prev_image"])
+        real = _to_signed(batch["target_image"])
+        state = batch["state"].astype(jnp.float32)
+        cfg = self.loss_cfg
+
+        # --- D update (G frozen) ---
+        fake = jax.lax.stop_gradient(
+            self.generator.apply(g_state.params, state, prev)
+        )
+
+        def d_loss_fn(d_params):
+            rf = self.discriminator.apply(d_params, state, prev, real)
+            ff = self.discriminator.apply(d_params, state, prev, fake)
+            loss = hinge_d_loss(logits_of(rf), logits_of(ff))
+            return loss, (rf,)
+
+        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params
+        )
+        d_state = d_state.apply_gradients(grads=d_grads)
+
+        # --- G update (D frozen, post-update D params) ---
+        def g_loss_fn(g_params):
+            fake = self.generator.apply(g_params, state, prev)
+            ff = self.discriminator.apply(d_state.params, state, prev, fake)
+            rf = self.discriminator.apply(d_state.params, state, prev, real)
+            adv = hinge_g_loss(logits_of(ff))
+            fm = feature_matching_loss(rf, ff)
+            l1 = l1_loss(fake, real)
+            loss = cfg.lambda_gan * adv + cfg.lambda_feat * fm + cfg.lambda_l1 * l1
+            vgg = jnp.float32(0.0)
+            if self.perceptual is not None:
+                vgg = self.perceptual(fake, real)
+                loss = loss + cfg.lambda_vgg * vgg
+            aux = dict(g_adv=adv, g_fm=fm, g_l1=l1, g_vgg=vgg)
+            return loss, aux
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params
+        )
+        g_state = g_state.apply_gradients(grads=g_grads)
+
+        metrics = dict(d_loss=d_loss, g_loss=g_loss, **aux)
+        return g_state, d_state, metrics
+
+    def train_step(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        self.g_state, self.d_state, metrics = self._step(
+            self.g_state, self.d_state, batch
+        )
+        return metrics
+
+    # -- inference --------------------------------------------------------
+    def generate(self, state: jax.Array, prev_image: jax.Array) -> jax.Array:
+        return self.generator.apply(self.g_state.params, state, prev_image)
+
+
+def _to_signed(img: jax.Array) -> jax.Array:
+    """uint8 [0,255] or float [-1,1] → float32 [-1,1]."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 127.5 - 1.0
+    return img.astype(jnp.float32)

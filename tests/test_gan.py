@@ -1,0 +1,237 @@
+"""S2P GAN tests: shapes, zero-masking semantics, rollout, losses, training.
+
+Mirrors the reference's validation strategy (SURVEY §4): stub-data unit
+tests, deterministic seeded checks, and behavior contracts from
+rebuttal.md (zero state → modulation pathway dead, etc.)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2p_tpu.gan import (
+    GANTrainer,
+    MultiscaleDiscriminator,
+    PositionalEmbedding,
+    S2PGenerator,
+    generate_rollout,
+    resolution_chain,
+)
+from s2p_tpu.gan.discriminator import avg_pool_2x
+from s2p_tpu.gan.losses import (
+    feature_matching_loss,
+    hinge_d_loss,
+    hinge_g_loss,
+)
+from s2p_tpu.gan.perceptual import PerceptualLoss, VGG19Features, load_torch_vgg19
+
+STATE_DIM = 17
+
+
+def _gen_and_params(image_size=64, **kw):
+    gen = S2PGenerator(image_size=image_size, **kw)
+    s = jnp.zeros((2, STATE_DIM))
+    img = jnp.zeros((2, image_size, image_size, 3))
+    params = gen.init(jax.random.PRNGKey(0), s, img)
+    return gen, params
+
+
+def test_resolution_chain():
+    assert resolution_chain(64, 4) == [64, 32, 16, 8, 4]
+    assert resolution_chain(100, 4) == [100, 50, 25, 13, 7]
+
+
+def test_positional_embedding_shape_and_values():
+    pe = PositionalEmbedding(num_freqs=4)
+    x = jnp.ones((3, 5))
+    y = pe.apply({}, x)
+    assert y.shape == (3, 5 * (2 * 4 + 1))
+    # first block is the input itself
+    np.testing.assert_allclose(np.asarray(y[:, :5]), np.ones((3, 5)), atol=1e-6)
+
+
+@pytest.mark.parametrize("size", [64, 100])
+def test_generator_output_shape(size):
+    gen, params = _gen_and_params(image_size=size, ngf=16, state_embed_dim=32,
+                                  mat_hidden=32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (2, STATE_DIM))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, size, size, 3), minval=-1)
+    out = gen.apply(params, s, img)
+    assert out.shape == (2, size, size, 3)
+    assert jnp.all(jnp.abs(out) <= 1.0)
+
+
+def test_generator_is_deterministic():
+    gen, params = _gen_and_params(ngf=16, state_embed_dim=32, mat_hidden=32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (2, STATE_DIM))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3), minval=-1)
+    a = gen.apply(params, s, img)
+    b = gen.apply(params, s, img)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generator_modality_sensitivity():
+    """Both modalities must influence the output (MAT contract,
+    rebuttal.md:145-156): changing either the state or the previous image
+    changes the generated frame."""
+    gen, params = _gen_and_params(ngf=16, state_embed_dim=32, mat_hidden=32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (1, STATE_DIM))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3), minval=-1)
+    base = gen.apply(params, s, img)
+    by_state = gen.apply(params, s + 1.0, img)
+    by_image = gen.apply(params, s, jnp.roll(img, 7, axis=1))
+    assert float(jnp.max(jnp.abs(base - by_state))) > 1e-4
+    assert float(jnp.max(jnp.abs(base - by_image))) > 1e-4
+
+
+@pytest.mark.parametrize("mode", ["sat_state", "sat_image"])
+def test_sat_ablation_modes(mode):
+    """SAT single-modality ablation (rebuttal.md:170-175) runs and, for
+    sat_state, the previous image cannot modulate the norm layers."""
+    gen, params = _gen_and_params(ngf=8, state_embed_dim=16, mat_hidden=16,
+                                  mat_mode=mode)
+    s = jax.random.normal(jax.random.PRNGKey(1), (1, STATE_DIM))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3), minval=-1)
+    out = gen.apply(params, s, img)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_rollout_scan_matches_python_loop():
+    gen, params = _gen_and_params(ngf=8, state_embed_dim=16, mat_hidden=16)
+    T, B = 3, 2
+    states = jax.random.normal(jax.random.PRNGKey(3), (T, B, STATE_DIM))
+    init = jax.random.uniform(jax.random.PRNGKey(4), (B, 64, 64, 3), minval=-1)
+    frames = generate_rollout(gen, params, init, states)
+    assert frames.shape == (T, B, 64, 64, 3)
+    prev = init
+    for t in range(T):
+        prev = gen.apply(params, states[t], prev)
+        np.testing.assert_allclose(
+            np.asarray(frames[t]), np.asarray(prev), atol=1e-5
+        )
+
+
+def test_discriminator_shapes_and_scales():
+    disc = MultiscaleDiscriminator(num_scales=2, ndf=16, n_layers=3)
+    s = jnp.zeros((2, STATE_DIM))
+    img = jnp.zeros((2, 64, 64, 3))
+    params = disc.init(jax.random.PRNGKey(0), s, img, img)
+    outs = disc.apply(params, s, img, img)
+    assert len(outs) == 2
+    # each scale: n_layers feature maps + 1 logit map
+    assert all(len(o) == 4 for o in outs)
+    assert outs[0][-1].shape[-1] == 1
+    # second scale sees a 2x pooled input → smaller maps
+    assert outs[1][-1].shape[1] < outs[0][-1].shape[1]
+
+
+def test_avg_pool_2x_matches_torch_count_include_pad_false():
+    torch = pytest.importorskip("torch")
+    x = np.random.RandomState(0).randn(1, 7, 7, 2).astype(np.float32)
+    ours = np.asarray(avg_pool_2x(jnp.asarray(x)))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ref = torch.nn.functional.avg_pool2d(
+        xt, 3, stride=2, padding=1, count_include_pad=False
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_hinge_losses():
+    r = [jnp.full((1, 4, 4, 1), 2.0)]
+    f = [jnp.full((1, 4, 4, 1), -2.0)]
+    assert float(hinge_d_loss(r, f)) == 0.0  # well-separated → zero loss
+    assert float(hinge_g_loss(f)) == 2.0
+    # misclassified real costs
+    assert float(hinge_d_loss(f, f)) == pytest.approx(3.0)
+
+
+def test_feature_matching_identical_is_zero():
+    feats = [[jnp.ones((1, 4, 4, 8)), jnp.ones((1, 2, 2, 16)), jnp.zeros((1, 2, 2, 1))]]
+    assert float(feature_matching_loss(feats, feats)) == 0.0
+
+
+def test_vgg19_feature_pyramid():
+    mod = VGG19Features()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    feats = mod.apply(variables, x)
+    assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4]
+    assert [f.shape[-1] for f in feats] == [64, 128, 256, 512, 512]
+
+
+def test_vgg19_torch_weight_conversion_parity():
+    torch = pytest.importorskip("torch")
+    # build a tiny fake torchvision-style state dict with random weights
+    rs = np.random.RandomState(0)
+    sd = {}
+    from s2p_tpu.gan.perceptual import _VGG19_CHANNELS
+
+    c_in = 3
+    for li in sorted(_VGG19_CHANNELS):
+        c_out = _VGG19_CHANNELS[li]
+        sd[f"features.{li}.weight"] = torch.from_numpy(
+            rs.randn(c_out, c_in, 3, 3).astype(np.float32) * 0.05
+        )
+        sd[f"features.{li}.bias"] = torch.from_numpy(
+            rs.randn(c_out).astype(np.float32) * 0.05
+        )
+        c_in = c_out
+    variables = load_torch_vgg19(sd)
+    x = jnp.asarray(rs.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1)
+    feats = VGG19Features().apply(variables, x)
+
+    # torch twin
+    layers = []
+    idx2layer = {}
+    for li in sorted(_VGG19_CHANNELS):
+        conv = torch.nn.Conv2d(sd[f"features.{li}.weight"].shape[1],
+                               sd[f"features.{li}.weight"].shape[0], 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(sd[f"features.{li}.weight"])
+            conv.bias.copy_(sd[f"features.{li}.bias"])
+        idx2layer[li] = conv
+    from s2p_tpu.gan.perceptual import _IMAGENET_MEAN, _IMAGENET_STD, _POOL_BEFORE, _VGG19_SLICES
+
+    xt = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    xt = ((xt + 1) * 0.5 - torch.tensor(_IMAGENET_MEAN)[None, :, None, None]) / \
+        torch.tensor(_IMAGENET_STD)[None, :, None, None]
+    h = xt
+    torch_feats = []
+    with torch.no_grad():
+        for group in _VGG19_SLICES:
+            for li in group:
+                if _POOL_BEFORE.get(li):
+                    h = torch.nn.functional.max_pool2d(h, 2, 2)
+                h = torch.relu(idx2layer[li](h))
+            torch_feats.append(h.numpy().transpose(0, 2, 3, 1))
+    for ours, ref in zip(feats, torch_feats):
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_perceptual_loss_zero_on_identical():
+    pl = PerceptualLoss(image_shape=(32, 32, 3))
+    x = jnp.zeros((1, 32, 32, 3))
+    assert float(pl(x, x)) == 0.0
+
+
+def test_gan_trainer_step_improves_l1():
+    """A few steps on one constant batch must reduce the reconstruction
+    terms — sanity that gradients flow through both towers."""
+    rs = np.random.RandomState(0)
+    batch = dict(
+        prev_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+        state=rs.randn(4, STATE_DIM).astype(np.float32),
+        target_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+    )
+    trainer = GANTrainer.create(
+        jax.random.PRNGKey(0), state_dim=STATE_DIM, image_size=64,
+        generator_kwargs=dict(ngf=8, state_embed_dim=16, mat_hidden=16,
+                              state_freqs=2),
+        discriminator_kwargs=dict(num_scales=1, ndf=8, n_layers=2),
+        use_perceptual=False,
+    )
+    first = trainer.train_step(batch)
+    for _ in range(10):
+        last = trainer.train_step(batch)
+    assert float(last["g_l1"]) < float(first["g_l1"])
+    assert np.isfinite(float(last["d_loss"]))
