@@ -1,0 +1,171 @@
+"""``train.py`` — S2P GAN training.
+
+Reference public surface (/root/reference/README.md:56-60):
+
+    python train.py --dataroot=./datasets/cheetah.hdf5 --env_type=cheetah \
+        --netG=s2p --batchSize=16 --gpu_ids=0
+
+TPU-native: one jitted step runs the D update and the G update back-to-back
+(s2p_tpu.gan.training); the batch dim shards over the mesh 'data' axis, so
+the same script trains on 1 chip or a v5e-8. Epoch-numbered checkpoints are
+written both as pickled flax params and, when torch is importable, as
+torch-layout ``{env}_{epoch}.pth`` so downstream reference consumers load
+TPU-trained weights directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataroot", type=str, required=True)
+    p.add_argument("--env_type", type=str, default="cheetah")
+    p.add_argument("--netG", type=str, default="s2p",
+                   choices=["s2p", "sat_state", "sat_image"])
+    p.add_argument("--batchSize", type=int, default=16)
+    p.add_argument("--gpu_ids", type=str, default="0",
+                   help="accepted for reference-CLI parity; ignored (jax-native)")
+    p.add_argument("--niter", type=int, default=30, help="training epochs")
+    p.add_argument("--save_epoch_freq", type=int, default=10)
+    p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
+    p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--num_D", type=int, default=2, help="discriminator scales")
+    p.add_argument("--n_layers_D", type=int, default=4)
+    p.add_argument("--g_lr", type=float, default=1e-4)
+    p.add_argument("--d_lr", type=float, default=4e-4)
+    p.add_argument("--lambda_L1", type=float, default=10.0)
+    p.add_argument("--lambda_feat", type=float, default=10.0)
+    p.add_argument("--lambda_vgg", type=float, default=10.0)
+    p.add_argument("--no_vgg_loss", action="store_true")
+    p.add_argument("--vgg_weights", type=str, default=None,
+                   help="torchvision vgg19 .pth for the perceptual loss")
+    p.add_argument("--data_num", type=int, default=None,
+                   help="truncate dataset (smoke runs)")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="hard cap on total grad steps (smoke runs)")
+    p.add_argument("--log_interval", type=int, default=100)
+    return p
+
+
+def main(argv: Optional[list] = None) -> str:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from s2p_tpu.data.pair_dataset import S2PPairDataset
+    from s2p_tpu.gan import GANOptConfig, GANTrainer
+    from s2p_tpu.gan.losses import GANLossConfig
+    from s2p_tpu.gan.convert import params_to_state_dict
+    from s2p_tpu.parallel import MeshSpec, make_mesh, shard_batch, shard_pytree
+    from s2p_tpu.utils.logging import setup_logger, logger
+    from s2p_tpu.utils.seeding import set_seed
+
+    set_seed(args.seed)
+    variant = vars(args)
+    log_dir = setup_logger(
+        f"s2p_{args.env_type}", variant=variant, base_log_dir=args.log_dir,
+        seed=args.seed, snapshot_mode="none",
+    )
+
+    ds = S2PPairDataset.from_hdf5(args.dataroot, args.data_num)
+    H = ds.image_shape[0]
+    logger.log(f"dataset: {len(ds)} pairs, image {ds.image_shape}, "
+               f"state_dim {ds.state_dim}")
+
+    mesh = make_mesh(MeshSpec(data=-1, model=1))
+    n_data = mesh.shape["data"]
+    assert args.batchSize % n_data == 0, (
+        f"batchSize {args.batchSize} must divide over {n_data} data-parallel "
+        "devices"
+    )
+
+    vgg_vars = None
+    if args.vgg_weights:
+        from s2p_tpu.gan.perceptual import load_torch_vgg19
+        from s2p_tpu.gan.convert import load_pth
+
+        vgg_vars = load_torch_vgg19(load_pth(args.vgg_weights))
+
+    mat_mode = "mat" if args.netG == "s2p" else args.netG
+    trainer = GANTrainer.create(
+        jax.random.PRNGKey(args.seed),
+        state_dim=ds.state_dim,
+        image_size=H,
+        channels=ds.image_shape[-1],
+        generator_kwargs=dict(ngf=args.ngf, mat_mode=mat_mode),
+        discriminator_kwargs=dict(
+            num_scales=args.num_D, ndf=args.ndf, n_layers=args.n_layers_D
+        ),
+        opt_cfg=GANOptConfig(g_lr=args.g_lr, d_lr=args.d_lr),
+        loss_cfg=GANLossConfig(
+            lambda_l1=args.lambda_L1, lambda_feat=args.lambda_feat,
+            lambda_vgg=args.lambda_vgg,
+        ),
+        use_perceptual=not args.no_vgg_loss,
+        vgg_variables=vgg_vars,
+    )
+    trainer.g_state = shard_pytree(mesh, trainer.g_state)
+    trainer.d_state = shard_pytree(mesh, trainer.d_state)
+
+    os.makedirs(args.checkpoints_dir, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    step = 0
+    t_start = time.time()
+    for epoch in range(1, args.niter + 1):
+        for batch in ds.batches(args.batchSize, rng):
+            metrics = trainer.train_step(shard_batch(mesh, batch))
+            step += 1
+            if step % args.log_interval == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                logger.log(
+                    f"epoch {epoch} step {step}: " +
+                    " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                )
+            if args.max_steps and step >= args.max_steps:
+                break
+        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        logger.record_tabular("epoch", epoch)
+        logger.record_tabular("step", step)
+        logger.record_dict(m)
+        logger.record_tabular("time_s", round(time.time() - t_start, 1))
+        logger.dump_tabular()
+        if epoch % args.save_epoch_freq == 0 or epoch == args.niter:
+            _save_checkpoint(args, epoch, trainer, params_to_state_dict)
+        if args.max_steps and step >= args.max_steps:
+            break
+    logger.close()
+    return log_dir
+
+
+def _save_checkpoint(args, epoch: int, trainer, params_to_state_dict) -> None:
+    import jax
+
+    params = jax.device_get(trainer.g_state.params)["params"]
+    base = osp.join(args.checkpoints_dir, f"{args.env_type}_{epoch}")
+    with open(base + ".pkl", "wb") as f:
+        pickle.dump({"params": params}, f)
+    try:
+        import torch
+
+        sd = {k: torch.from_numpy(np.array(v, copy=True))
+              for k, v in params_to_state_dict(params).items()}
+        torch.save(sd, base + ".pth")
+    except ImportError:
+        pass
+    print(f"saved checkpoint {base}.pkl/.pth")
+
+
+if __name__ == "__main__":
+    main()

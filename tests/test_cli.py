@@ -1,0 +1,98 @@
+"""CLI surface tests — train.py / simple_test.py with tiny HDF5 fixtures
+(reference CLI contract: README.md:27-34,56-60)."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset, save_dataset
+
+
+@pytest.fixture()
+def tiny_hdf5(tmp_path):
+    ds = make_synthetic_rl_dataset(
+        n_episodes=2, episode_len=12, obs_dim=17, act_dim=6, img_hw=16
+    )
+    path = str(tmp_path / "cheetah.hdf5")
+    save_dataset(path, ds)
+    return path
+
+
+def test_train_gan_cli_smoke(tiny_hdf5, tmp_path):
+    from s2p_tpu.cli.train_gan import main
+
+    log_dir = main([
+        "--dataroot", tiny_hdf5,
+        "--env_type", "cheetah",
+        "--netG", "s2p",
+        "--batchSize", "8",
+        "--niter", "1",
+        "--max_steps", "2",
+        "--ngf", "8",
+        "--ndf", "8",
+        "--num_D", "1",
+        "--n_layers_D", "2",
+        "--no_vgg_loss",
+        "--log_interval", "1",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert osp.exists(osp.join(log_dir, "progress.csv"))
+    assert osp.exists(osp.join(log_dir, "variant.json"))
+    ckpts = os.listdir(tmp_path / "ckpt")
+    assert any(c.endswith(".pkl") for c in ckpts)
+    assert any(c.endswith(".pth") for c in ckpts)  # torch export (torch available)
+
+
+def test_simple_test_cli_from_trained_checkpoint(tiny_hdf5, tmp_path):
+    """train → generate end-to-end: the .pth written by the train CLI loads
+    through the torch converter and drives the rollout CLI."""
+    from s2p_tpu.cli.train_gan import main as train_main
+    from s2p_tpu.cli.simple_test import main as gen_main
+
+    train_main([
+        "--dataroot", tiny_hdf5,
+        "--batchSize", "8",
+        "--niter", "1",
+        "--max_steps", "1",
+        "--ngf", "8",
+        "--ndf", "8",
+        "--num_D", "1",
+        "--n_layers_D", "2",
+        "--no_vgg_loss",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    out_dir = gen_main([
+        "--env_type", "cheetah",
+        "--dataroot", tiny_hdf5,
+        "--netG", "s2p",
+        "--start_idx", "0",
+        "--seq_len", "3",
+        "--ngf", "8",
+        "--checkpoint", str(tmp_path / "ckpt" / "cheetah_1.pth"),
+        "--results_dir", str(tmp_path / "results"),
+    ])
+    files = sorted(os.listdir(out_dir))
+    assert "rollout_00000.png" in files
+    assert sum(f.startswith("gen_") for f in files) == 3
+    import imageio.v2 as imageio
+
+    strip = imageio.imread(osp.join(out_dir, "rollout_00000.png"))
+    assert strip.shape == (32, 48, 3)  # gen row + gt row, 3 frames of 16px
+
+
+def test_simple_test_cli_init_random(tiny_hdf5, tmp_path):
+    from s2p_tpu.cli.simple_test import main as gen_main
+
+    out_dir = gen_main([
+        "--dataroot", tiny_hdf5,
+        "--start_idx", "2",
+        "--seq_len", "2",
+        "--ngf", "8",
+        "--init_random",
+        "--results_dir", str(tmp_path / "results"),
+    ])
+    assert any(f.startswith("gen_") for f in os.listdir(out_dir))
