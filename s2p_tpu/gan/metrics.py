@@ -1,0 +1,190 @@
+"""Image-fidelity metrics: PSNR, SSIM, perceptual (LPIPS-style), FID.
+
+Spec: the reference evaluates S2P generation quality with FID, LPIPS, PSNR
+and SSIM (/root/reference/rebuttal.md:49-50). The metric *computations* are
+self-contained here; the learned-feature metrics are generic over a feature
+extractor:
+
+- ``perceptual_distance`` — LPIPS-style VGG feature distance using
+  s2p_tpu.gan.perceptual.VGG19Features (unit-normalized feature diffs,
+  spatially averaged). With converted torchvision VGG19 weights this is the
+  standard LPIPS(VGG) backbone without the learned linear calibration; with
+  the fallback random features it is still a valid relative metric.
+- ``frechet_distance`` / ``compute_fid`` — exact Fréchet computation
+  (host-side scipy sqrtm) over any feature extractor. The canonical
+  InceptionV3 weights are not bundled (zero egress); pass an extractor
+  built from converted weights for paper-comparable numbers, or use
+  ``vgg_fid_extractor`` for a self-contained, internally-consistent FID.
+
+Per-pair metrics (PSNR/SSIM/perceptual) are jit-compiled and batch over
+leading dims; inputs are NHWC in [-1, 1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -- PSNR -------------------------------------------------------------------
+
+@jax.jit
+def psnr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Peak signal-to-noise ratio per image pair, data range [-1, 1] → 2."""
+    mse = jnp.mean((a - b) ** 2, axis=(-3, -2, -1))
+    return 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+
+
+# -- SSIM -------------------------------------------------------------------
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def _filter2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise valid-mode 2-D filter over NHWC."""
+    c = x.shape[-1]
+    k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, 1))
+    k = jnp.tile(k, (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+@jax.jit
+def ssim(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Structural similarity (Wang et al. defaults: 11×11 gaussian σ=1.5,
+    K1=0.01, K2=0.03), averaged over space and channels; range [-1, 1]."""
+    L = 2.0
+    c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    kern = _gaussian_kernel()
+    lead = a.shape[:-3]
+    a = a.reshape((-1,) + a.shape[-3:]).astype(jnp.float32)
+    b = b.reshape((-1,) + b.shape[-3:]).astype(jnp.float32)
+    mu_a, mu_b = _filter2d(a, kern), _filter2d(b, kern)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    s_aa = _filter2d(a * a, kern) - mu_aa
+    s_bb = _filter2d(b * b, kern) - mu_bb
+    s_ab = _filter2d(a * b, kern) - mu_ab
+    num = (2 * mu_ab + c1) * (2 * s_ab + c2)
+    den = (mu_aa + mu_bb + c1) * (s_aa + s_bb + c2)
+    out = jnp.mean(num / den, axis=(1, 2, 3))
+    return out.reshape(lead)
+
+
+# -- LPIPS-style perceptual distance ---------------------------------------
+
+class PerceptualMetric:
+    """LPIPS-style distance: unit-normalize VGG features channelwise, mean
+    squared diff over space, sum over layers."""
+
+    def __init__(self, variables=None, image_shape=(64, 64, 3), seed: int = 0):
+        from s2p_tpu.gan.perceptual import VGG19Features
+
+        self.module = VGG19Features()
+        if variables is None:
+            dummy = jnp.zeros((1,) + tuple(image_shape), jnp.float32)
+            variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        self._fn = jax.jit(self._distance)
+
+    def _distance(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        fa = self.module.apply(self.variables, a)
+        fb = self.module.apply(self.variables, b)
+        total = 0.0
+        for xa, xb in zip(fa, fb):
+            na = xa * jax.lax.rsqrt(jnp.sum(xa**2, -1, keepdims=True) + 1e-10)
+            nb = xb * jax.lax.rsqrt(jnp.sum(xb**2, -1, keepdims=True) + 1e-10)
+            total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1), axis=(-2, -1))
+        return total
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        return self._fn(a, b)
+
+
+# -- FID --------------------------------------------------------------------
+
+def feature_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    feats = np.asarray(feats, np.float64)
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """d² = |μ1−μ2|² + Tr(Σ1 + Σ2 − 2(Σ1Σ2)^{1/2}) (Heusel et al. 2017)."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        # standard small-sample stabilization: jitter the diagonals
+        eps = 1e-6 * np.eye(sigma1.shape[0])
+        covmean, _ = linalg.sqrtm((sigma1 + eps) @ (sigma2 + eps), disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
+
+
+def vgg_fid_extractor(variables=None, image_shape=(64, 64, 3), seed: int = 0):
+    """Feature extractor for FID: spatially-pooled relu4_1 activations."""
+    from s2p_tpu.gan.perceptual import VGG19Features
+
+    module = VGG19Features()
+    if variables is None:
+        dummy = jnp.zeros((1,) + tuple(image_shape), jnp.float32)
+        variables = module.init(jax.random.PRNGKey(seed), dummy)
+
+    @jax.jit
+    def extract(images: jax.Array) -> jax.Array:
+        feats = module.apply(variables, images)
+        return jnp.mean(feats[3], axis=(1, 2))
+
+    return extract
+
+
+def compute_fid(
+    extractor: Callable[[jax.Array], jax.Array],
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+) -> float:
+    """Stream batches (NHWC in [-1, 1]) through the extractor and compute the
+    Fréchet distance between the two feature distributions."""
+
+    def collect(batches) -> np.ndarray:
+        out: List[np.ndarray] = []
+        for b in batches:
+            out.append(np.asarray(jax.device_get(extractor(jnp.asarray(b)))))
+        return np.concatenate(out, axis=0)
+
+    mu_r, s_r = feature_stats(collect(real_batches))
+    mu_f, s_f = feature_stats(collect(fake_batches))
+    return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+
+# -- one-call evaluation harness -------------------------------------------
+
+def evaluate_pairs(
+    fake: np.ndarray, real: np.ndarray, perceptual: PerceptualMetric = None
+) -> dict:
+    """PSNR/SSIM (+ perceptual when given) over aligned generated/GT frames."""
+    f = jnp.asarray(fake, jnp.float32)
+    r = jnp.asarray(real, jnp.float32)
+    out = {
+        "psnr": float(jnp.mean(psnr(f, r))),
+        "ssim": float(jnp.mean(ssim(f, r))),
+    }
+    if perceptual is not None:
+        out["lpips_vgg"] = float(jnp.mean(perceptual(f, r)))
+    return out

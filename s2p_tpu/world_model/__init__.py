@@ -1,0 +1,25 @@
+from s2p_tpu.world_model.ensemble import (
+    EnsembleTransition,
+    convert_ensemble_state_dict,
+    ensemble_nll_loss,
+    make_ensemble_train_step,
+    save_members,
+    restore_members,
+    soft_clamp,
+)
+from s2p_tpu.world_model.rollout import (
+    compute_normalization,
+    generate_augmented_dataset,
+)
+
+__all__ = [
+    "EnsembleTransition",
+    "convert_ensemble_state_dict",
+    "ensemble_nll_loss",
+    "make_ensemble_train_step",
+    "save_members",
+    "restore_members",
+    "soft_clamp",
+    "compute_normalization",
+    "generate_augmented_dataset",
+]
