@@ -1,0 +1,226 @@
+"""SLAC subsystem tests: latent model shapes/semantics, ELBO training,
+prepare_batch contract, latent.pth conversion
+(reference: rlkit/torch/slac/{network/latent.py,algo.py,trainer.py})."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset, save_dataset
+from s2p_tpu.slac import (
+    GaussianHead,
+    LatentModel,
+    SlacAlgorithm,
+    SlacDecoder,
+    SlacEncoder,
+    calculate_kl_divergence,
+    convert_latent_state_dict,
+    create_feature_actions,
+)
+
+ACT = 4
+SMALL = dict(feature_dim=32, z1_dim=4, z2_dim=16, hidden_units=(16, 16))
+
+
+def _algo(image_size=64, num_sequences=4, **kw):
+    cfg = dict(SMALL)
+    cfg.update(kw)
+    return SlacAlgorithm(
+        action_dim=ACT, num_sequences=num_sequences, buffer_size=500,
+        batch_size_latent=4, image_size=image_size, seed=0, **cfg,
+    )
+
+
+def test_gaussian_head_softplus_std_and_torch_parity():
+    head = GaussianHead(output_dim=3, hidden_units=(8,))
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 6), jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x)
+    mean, std = head.apply(params, x)
+    assert mean.shape == (5, 3) and std.shape == (5, 3)
+    assert (np.asarray(std) > 1e-5).all()
+
+    torch = pytest.importorskip("torch")
+    p = jax.device_get(params)["params"]
+    with torch.no_grad():
+        h = torch.from_numpy(np.asarray(x))
+        h = torch.nn.functional.leaky_relu(
+            h @ torch.from_numpy(p["fc0"]["kernel"]) + torch.from_numpy(p["fc0"]["bias"]), 0.2
+        )
+        out = h @ torch.from_numpy(p["fc1"]["kernel"]) + torch.from_numpy(p["fc1"]["bias"])
+        m_t, s_t = out.chunk(2, dim=-1)
+        s_t = torch.nn.functional.softplus(s_t) + 1e-5
+    np.testing.assert_allclose(np.asarray(mean), m_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), s_t.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("size,n_conv", [(64, 5), (100, 6)])
+def test_encoder_decoder_shapes(size, n_conv):
+    """Encoder collapses HxW to 1x1 through the exact reference conv chains;
+    decoder inverts them (latent.py:55-171)."""
+    enc = SlacEncoder(feature_dim=32, image_size=size)
+    x = jnp.zeros((2, 3, size, size, 3))
+    p = enc.init(jax.random.PRNGKey(0), x)
+    feat = enc.apply(p, x)
+    assert feat.shape == (2, 3, 32)
+    assert len(p["params"]) == n_conv
+
+    dec = SlacDecoder(out_channels=3, image_size=size)
+    z = jnp.zeros((2, 3, 20))
+    pd = dec.init(jax.random.PRNGKey(0), z)
+    mean, std = dec.apply(pd, z)
+    assert mean.shape == (2, 3, size, size, 3)
+    assert float(std[0, 0, 0, 0, 0]) == pytest.approx(math.sqrt(0.1))
+
+
+def test_kl_divergence_matches_closed_form():
+    # KL(N(0,1) ‖ N(0,1)) = 0; KL(N(1,1) ‖ N(0,1)) = 0.5
+    z = jnp.zeros((3,))
+    o = jnp.ones((3,))
+    np.testing.assert_allclose(np.asarray(calculate_kl_divergence(z, o, z, o)), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(calculate_kl_divergence(o, o, z, o)), 0.5, atol=1e-6)
+
+
+def test_create_feature_actions_shapes_and_content():
+    B, S, F, A = 2, 4, 3, 2
+    feats = jnp.arange(B * (S + 1) * F, dtype=jnp.float32).reshape(B, S + 1, F)
+    acts = jnp.arange(B * S * A, dtype=jnp.float32).reshape(B, S, A)
+    fa, n_fa = create_feature_actions(feats, acts)
+    assert fa.shape == (B, S * F + (S - 1) * A)
+    # fa = (f(1:S) ‖ a(1:S-1)); n_fa = shifted by one
+    np.testing.assert_array_equal(np.asarray(fa[:, : S * F]), np.asarray(feats[:, :-1].reshape(B, -1)))
+    np.testing.assert_array_equal(np.asarray(n_fa[:, : S * F]), np.asarray(feats[:, 1:].reshape(B, -1)))
+
+
+def test_latent_elbo_losses_finite_and_trainable():
+    algo = _algo(image_size=64, num_sequences=4)
+    ds = make_synthetic_rl_dataset(n_episodes=2, episode_len=10, obs_dim=5,
+                                   act_dim=ACT, img_hw=64)
+    added = algo.buffer.ingest_real(ds)
+    assert added > 0
+    first = None
+    for _ in range(8):
+        losses = algo.update_latent()
+        total = sum(float(v) for v in jax.device_get(losses).values())
+        if first is None:
+            first = total
+    assert np.isfinite(total)
+    assert total < first  # ELBO improves on a tiny fixed dataset
+
+
+def test_prepare_batch_contract():
+    algo = _algo(image_size=64, num_sequences=4)
+    B, S = 3, 4
+    obs = jnp.asarray(
+        np.random.RandomState(0).rand(B, S + 1, 64, 64, 3), jnp.float32
+    )
+    act = jnp.asarray(np.random.RandomState(1).randn(B, S, ACT), jnp.float32)
+    z, next_z, action, fa, n_fa = algo.prepare_batch(obs, act)
+    z_dim = SMALL["z1_dim"] + SMALL["z2_dim"]
+    assert z.shape == (B, z_dim) and next_z.shape == (B, z_dim)
+    assert action.shape == (B, ACT)
+    assert fa.shape == (B, S * SMALL["feature_dim"] + (S - 1) * ACT)
+    assert fa.shape == n_fa.shape
+    assert algo.feature_action_dim == fa.shape[1]
+
+
+def test_preprocess_window():
+    algo = _algo(image_size=64, num_sequences=4)
+    frames = np.random.RandomState(0).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    actions = np.zeros((3, ACT), np.float32)
+    fa = algo.preprocess(frames, actions)
+    assert fa.shape == (1, algo.feature_action_dim)
+
+
+def test_load_data_in_buffer_generated_with_penalty(tmp_path):
+    """End-to-end: augment HDF5 → ingest with uncertainty penalty
+    (reference algo.py:268-352)."""
+    from s2p_tpu.data.hdf5 import make_slac_window_indices
+
+    ns = 4
+    ds = make_synthetic_rl_dataset(n_episodes=2, episode_len=10, obs_dim=5,
+                                   act_dim=ACT, img_hw=64)
+    n = len(ds["timeouts"])
+    obs_i, act_i = [], []
+    for start in (0, 10):
+        o, a = make_slac_window_indices(10, start, ns)
+        obs_i.append(o)
+        act_i.append(a)
+    aug = dict(
+        ds,
+        original_actions=ds["actions"],
+        original_rewards=ds["rewards"],
+        slac_observation_indices=np.concatenate(obs_i),
+        slac_action_indices=np.concatenate(act_i),
+        aleatoric_uncertainty=np.full((n, 1), 0.5, np.float32),
+        disagreement_uncertainty=np.full((n, 1), 0.25, np.float32),
+    )
+    path = str(tmp_path / "aug.hdf5")
+    save_dataset(path, aug)
+
+    algo = _algo(image_size=64, num_sequences=ns)
+    added = algo.load_data_in_buffer(
+        path, generated_for_slac=True,
+        data_mix_type="all_state_1step_random_action",
+        uncertainty_type="aleatoric", uncertainty_penalty_lambda=2.0,
+    )
+    assert added > 0
+    batch = algo.buffer.random_batch(jax.random.PRNGKey(0), 4)
+    assert batch["observations"].shape == (4, ns + 1, 64, 64, 3)
+    # final-step reward carries the −λ·u penalty
+    rew = np.asarray(batch["rewards"]).ravel()
+    assert (rew <= 1.0 - 2.0 * 0.5 + 1e-5).all()  # base rewards in [0,1)
+
+
+def test_convert_latent_state_dict_roundtrip():
+    """Inverse-map our params to torch naming, convert back, trees match."""
+    algo = _algo(image_size=64, num_sequences=4)
+    p = jax.device_get(algo.params)["params"]
+    sd = {}
+    for mod, layers in p.items():
+        for lname, leaves in layers.items():
+            n = int("".join(c for c in lname if c.isdigit()))
+            idx = 2 * n  # activations occupy odd torch Sequential slots
+            for leaf, arr in leaves.items():
+                arr = np.asarray(arr)
+                if leaf == "kernel":
+                    if lname.startswith("fc"):
+                        arr = arr.T
+                    elif lname.startswith("deconv"):
+                        arr = arr.transpose(2, 3, 0, 1)
+                    else:
+                        arr = arr.transpose(3, 2, 0, 1)
+                    sd[f"{mod}.net.{idx}.weight"] = arr
+                else:
+                    sd[f"{mod}.net.{idx}.bias"] = arr
+    # torch aliases present in real checkpoints must be ignored
+    sd["z2_posterior.net.0.weight"] = sd["z2_prior.net.0.weight"]
+    variables = convert_latent_state_dict(sd)
+    a = jax.tree_util.tree_leaves(variables["params"])
+    b = jax.tree_util.tree_leaves(p)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pretrain_and_save_load(tmp_path):
+    from s2p_tpu.slac.pretrain import pretrain_latent
+
+    algo = _algo(image_size=64, num_sequences=4)
+    ds = make_synthetic_rl_dataset(n_episodes=2, episode_len=8, obs_dim=5,
+                                   act_dim=ACT, img_hw=64)
+    algo.buffer.ingest_real(ds)
+    losses = pretrain_latent(
+        algo, num_steps=3, save_every=2, save_dir=str(tmp_path), log_every=0,
+    )
+    assert all(np.isfinite(v) for v in losses.values())
+    algo2 = _algo(image_size=64, num_sequences=4)
+    algo2.load_latent(str(tmp_path / "latent.pkl"))
+    for x, y in zip(
+        jax.tree_util.tree_leaves(algo.params),
+        jax.tree_util.tree_leaves(algo2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
