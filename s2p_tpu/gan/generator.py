@@ -75,6 +75,21 @@ class PositionalEmbedding(nn.Module):
         return state_dim * (2 * num_freqs + (1 if include_input else 0))
 
 
+def upsample_nearest(x: jax.Array, out_size: int) -> jax.Array:
+    """Nearest-neighbor upsample to (out_size, out_size).
+
+    Exact 2× (the 64px chain) lowers as broadcast+reshape — cheaper on TPU
+    than jax.image.resize's gather; non-integer scales (the ceil(n/2) 100px
+    chain: 7→13, 13→25, 25→50) keep resize, whose index rule matches
+    torch ``F.interpolate(..., mode='nearest')`` for exact 2× (the parity-
+    tested case)."""
+    B, H, W, C = x.shape
+    if out_size == 2 * H:
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+        return x.reshape(B, 2 * H, 2 * W, C)
+    return jax.image.resize(x, (B, out_size, out_size, C), method="nearest")
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Parameter-free instance norm over spatial dims (NHWC) — the
     normalization that MAT modulates (AdaIN family, rebuttal.md:151)."""
@@ -94,6 +109,7 @@ class MATNorm(nn.Module):
 
     hidden: int = 128
     mat_mode: str = "mat"  # 'mat' | 'sat_state' | 'sat_image'
+    use_pallas: bool = False  # fused norm+modulation kernel (inference path)
 
     @nn.compact
     def __call__(self, x: jax.Array, state_map: jax.Array, image_feat: jax.Array) -> jax.Array:
@@ -109,6 +125,10 @@ class MATNorm(nn.Module):
         h = nn.relu(h)
         gamma = nn.Conv(x.shape[-1], (3, 3), padding=[(1, 1), (1, 1)], name="mlp_gamma")(h)
         beta = nn.Conv(x.shape[-1], (3, 3), padding=[(1, 1), (1, 1)], name="mlp_beta")(h)
+        if self.use_pallas:
+            from s2p_tpu.gan.pallas_kernels import fused_mat_norm
+
+            return fused_mat_norm(x, gamma, beta)
         return instance_norm(x) * (1.0 + gamma) + beta
 
 
@@ -122,18 +142,22 @@ class MATResBlock(nn.Module):
     out_features: int
     mat_hidden: int = 128
     mat_mode: str = "mat"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, state_map: jax.Array, image_feat: jax.Array) -> jax.Array:
         fmid = min(x.shape[-1], self.out_features)
-        h = MATNorm(self.mat_hidden, self.mat_mode, name="norm_0")(x, state_map, image_feat)
+        norm = lambda name: MATNorm(
+            self.mat_hidden, self.mat_mode, self.use_pallas, name=name
+        )
+        h = norm("norm_0")(x, state_map, image_feat)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(fmid, (3, 3), padding=[(1, 1), (1, 1)], name="conv_0")(h)
-        h = MATNorm(self.mat_hidden, self.mat_mode, name="norm_1")(h, state_map, image_feat)
+        h = norm("norm_1")(h, state_map, image_feat)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(self.out_features, (3, 3), padding=[(1, 1), (1, 1)], name="conv_1")(h)
         if x.shape[-1] != self.out_features:
-            s = MATNorm(self.mat_hidden, self.mat_mode, name="norm_s")(x, state_map, image_feat)
+            s = norm("norm_s")(x, state_map, image_feat)
             s = nn.Conv(self.out_features, (1, 1), use_bias=False, name="conv_s")(s)
         else:
             s = x
@@ -182,6 +206,7 @@ class S2PGenerator(nn.Module):
     mat_hidden: int = 128
     mat_mode: str = "mat"
     out_channels: int = 3
+    use_pallas: bool = False  # fused MAT-norm kernel (TPU inference path)
 
     @property
     def sizes(self) -> List[int]:
@@ -224,13 +249,12 @@ class S2PGenerator(nn.Module):
                 e[:, None, None, :], (e.shape[0], size, size, e.shape[-1])
             )
             x = MATResBlock(
-                c_out, self.mat_hidden, self.mat_mode, name=f"block_{i}"
+                c_out, self.mat_hidden, self.mat_mode, self.use_pallas,
+                name=f"block_{i}",
             )(x, state_map, enc_by_size[size])
             if i < len(sizes) - 1:
                 nxt = sizes[i + 1]
-                x = jax.image.resize(
-                    x, (x.shape[0], nxt, nxt, x.shape[-1]), method="nearest"
-                )
+                x = upsample_nearest(x, nxt)
 
         x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(
