@@ -27,7 +27,10 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dataroot", type=str, required=True)
+    p.add_argument("--dataroot", type=str, required=True,
+                   help="HDF5 path; comma-separate for multi-env training")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 params/optimizer)")
     p.add_argument("--env_type", type=str, default="cheetah")
     p.add_argument("--netG", type=str, default="s2p",
                    choices=["s2p", "sat_state", "sat_image"])
@@ -115,6 +118,7 @@ def main(argv: Optional[list] = None) -> str:
         ),
         use_perceptual=not args.no_vgg_loss,
         vgg_variables=vgg_vars,
+        compute_dtype=jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32,
     )
     trainer.g_state = shard_pytree(mesh, trainer.g_state)
     trainer.d_state = shard_pytree(mesh, trainer.d_state)

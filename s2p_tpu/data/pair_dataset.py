@@ -46,8 +46,34 @@ class S2PPairDataset:
 
     @classmethod
     def from_hdf5(cls, path: str, data_num: Optional[int] = None) -> "S2PPairDataset":
-        ds = load_rl_dataset(path, data_num)
+        """``path`` may be comma-separated for multi-env training (the
+        cheetah+walker data-parallel config, BASELINE.json); states are
+        zero-padded to the widest env's dimension."""
+        parts = [p for p in str(path).split(",") if p]
+        if len(parts) > 1:
+            return cls.concat([cls.from_hdf5(p, data_num) for p in parts])
+        ds = load_rl_dataset(parts[0], data_num)
         return cls.from_dataset(ds)
+
+    @classmethod
+    def concat(cls, datasets: "list[S2PPairDataset]") -> "S2PPairDataset":
+        assert len({d.image_shape for d in datasets}) == 1, (
+            "multi-env training requires a common image size"
+        )
+        sdim = max(d.state_dim for d in datasets)
+
+        def pad(s: np.ndarray) -> np.ndarray:
+            if s.shape[-1] == sdim:
+                return s
+            out = np.zeros((len(s), sdim), np.float32)
+            out[:, : s.shape[-1]] = s
+            return out
+
+        return cls(
+            np.concatenate([d.prev_images for d in datasets]),
+            np.concatenate([pad(d.states) for d in datasets]),
+            np.concatenate([d.target_images for d in datasets]),
+        )
 
     @classmethod
     def from_dataset(cls, ds: Dict[str, np.ndarray]) -> "S2PPairDataset":

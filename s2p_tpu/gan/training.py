@@ -62,6 +62,10 @@ class GANTrainer:
     d_state: TrainState
     perceptual: Optional[PerceptualLoss]
     loss_cfg: GANLossConfig
+    # mixed precision: params stay fp32 (optimizer state too); forwards/
+    # backwards run in compute_dtype (bf16 rides the MXU at 2x); losses and
+    # grads accumulate in fp32 — bf16 needs no loss scaling.
+    compute_dtype: Any = jnp.float32
 
     @classmethod
     def create(
@@ -76,6 +80,7 @@ class GANTrainer:
         loss_cfg: GANLossConfig = GANLossConfig(),
         use_perceptual: bool = True,
         vgg_variables: Any = None,
+        compute_dtype: Any = jnp.float32,
     ) -> "GANTrainer":
         gen = S2PGenerator(image_size=image_size, out_channels=channels,
                            **(generator_kwargs or {}))
@@ -99,7 +104,8 @@ class GANTrainer:
                 vgg_variables, image_shape=(image_size, image_size, channels),
                 seed=int(jax.random.randint(v_rng, (), 0, 2**31 - 1)),
             )
-        return cls(gen, disc, g_state, d_state, perceptual, loss_cfg)
+        return cls(gen, disc, g_state, d_state, perceptual, loss_cfg,
+                   compute_dtype)
 
     # -- compiled step ----------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
@@ -109,20 +115,26 @@ class GANTrainer:
         d_state: TrainState,
         batch: Dict[str, jax.Array],
     ) -> Tuple[TrainState, TrainState, Dict[str, jax.Array]]:
-        prev = _to_signed(batch["prev_image"])
-        real = _to_signed(batch["target_image"])
-        state = batch["state"].astype(jnp.float32)
+        dt = self.compute_dtype
+        prev = _to_signed(batch["prev_image"]).astype(dt)
+        real = _to_signed(batch["target_image"]).astype(dt)
+        state = batch["state"].astype(dt)
         cfg = self.loss_cfg
+        cast = lambda p: jax.tree_util.tree_map(lambda x: x.astype(dt), p)
 
         # --- D update (G frozen) ---
         fake = jax.lax.stop_gradient(
-            self.generator.apply(g_state.params, state, prev)
+            self.generator.apply(cast(g_state.params), state, prev)
         )
 
         def d_loss_fn(d_params):
+            d_params = cast(d_params)
             rf = self.discriminator.apply(d_params, state, prev, real)
             ff = self.discriminator.apply(d_params, state, prev, fake)
-            loss = hinge_d_loss(logits_of(rf), logits_of(ff))
+            f32 = lambda t: t.astype(jnp.float32)
+            loss = hinge_d_loss(
+                [f32(x) for x in logits_of(rf)], [f32(x) for x in logits_of(ff)]
+            )
             return loss, (rf,)
 
         (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -132,16 +144,21 @@ class GANTrainer:
 
         # --- G update (D frozen, post-update D params) ---
         def g_loss_fn(g_params):
-            fake = self.generator.apply(g_params, state, prev)
-            ff = self.discriminator.apply(d_state.params, state, prev, fake)
-            rf = self.discriminator.apply(d_state.params, state, prev, real)
-            adv = hinge_g_loss(logits_of(ff))
-            fm = feature_matching_loss(rf, ff)
-            l1 = l1_loss(fake, real)
+            fake = self.generator.apply(cast(g_params), state, prev)
+            d_cast = cast(d_state.params)
+            ff = self.discriminator.apply(d_cast, state, prev, fake)
+            rf = self.discriminator.apply(d_cast, state, prev, real)
+            f32 = lambda t: t.astype(jnp.float32)
+            adv = hinge_g_loss([f32(x) for x in logits_of(ff)])
+            fm = feature_matching_loss(
+                [[f32(x) for x in fs] for fs in rf],
+                [[f32(x) for x in fs] for fs in ff],
+            )
+            l1 = l1_loss(f32(fake), f32(real))
             loss = cfg.lambda_gan * adv + cfg.lambda_feat * fm + cfg.lambda_l1 * l1
             vgg = jnp.float32(0.0)
             if self.perceptual is not None:
-                vgg = self.perceptual(fake, real)
+                vgg = self.perceptual(f32(fake), f32(real))
                 loss = loss + cfg.lambda_vgg * vgg
             aux = dict(g_adv=adv, g_fm=fm, g_l1=l1, g_vgg=vgg)
             return loss, aux

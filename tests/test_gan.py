@@ -235,3 +235,46 @@ def test_gan_trainer_step_improves_l1():
         last = trainer.train_step(batch)
     assert float(last["g_l1"]) < float(first["g_l1"])
     assert np.isfinite(float(last["d_loss"]))
+
+
+def test_gan_trainer_bf16_compute():
+    """Mixed precision: bf16 forwards, fp32 params/grads stay finite and
+    reconstruction still improves."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    batch = dict(
+        prev_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+        state=rs.randn(4, STATE_DIM).astype(np.float32),
+        target_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+    )
+    trainer = GANTrainer.create(
+        jax.random.PRNGKey(0), state_dim=STATE_DIM, image_size=64,
+        generator_kwargs=dict(ngf=8, state_embed_dim=16, mat_hidden=16,
+                              state_freqs=2),
+        discriminator_kwargs=dict(num_scales=1, ndf=8, n_layers=2),
+        use_perceptual=False, compute_dtype=jnp.bfloat16,
+    )
+    first = trainer.train_step(batch)
+    for _ in range(10):
+        last = trainer.train_step(batch)
+    assert float(last["g_l1"]) < float(first["g_l1"])
+    # params remain fp32
+    leaf = jax.tree_util.tree_leaves(trainer.g_state.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_pair_dataset_multi_env_concat(tmp_path):
+    from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset, save_dataset
+    from s2p_tpu.data.pair_dataset import S2PPairDataset
+
+    a = make_synthetic_rl_dataset(n_episodes=1, episode_len=8, obs_dim=17,
+                                  act_dim=6, img_hw=16, seed=0)
+    b = make_synthetic_rl_dataset(n_episodes=1, episode_len=8, obs_dim=24,
+                                  act_dim=6, img_hw=16, seed=1)
+    pa, pb = str(tmp_path / "cheetah.hdf5"), str(tmp_path / "walker.hdf5")
+    save_dataset(pa, a)
+    save_dataset(pb, b)
+    ds = S2PPairDataset.from_hdf5(f"{pa},{pb}")
+    assert ds.state_dim == 24  # padded to the widest env
+    assert len(ds) == 16  # tp1 pairing keeps all 8 rows per episode
