@@ -59,7 +59,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=None,
                    help="hard cap on total grad steps (smoke runs)")
     p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--eval_interval", type=int, default=1,
+                   help="evaluate PSNR/SSIM (and FID when enough samples) "
+                        "every N epochs; 0 disables")
+    p.add_argument("--eval_num", type=int, default=256,
+                   help="held-out pairs used for evaluation")
     return p
+
+
+def evaluate_generator(trainer, ds, n: int, batch_size: int = 64) -> dict:
+    """Image-fidelity eval (FID/PSNR/SSIM spec: rebuttal.md:49-50) on the
+    first ``n`` pairs: one-step generation vs ground-truth next frames."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2p_tpu.gan.metrics import evaluate_pairs, compute_fid, vgg_fid_extractor
+    from s2p_tpu.gan.training import _to_signed
+
+    n = min(n, len(ds))
+    fakes, reals = [], []
+    for lo in range(0, n, batch_size):
+        b = ds.eval_batch(lo, min(batch_size, n - lo))
+        prev = _to_signed(jnp.asarray(b["prev_image"]))
+        real = _to_signed(jnp.asarray(b["target_image"]))
+        fake = trainer.generate(jnp.asarray(b["state"]), prev)
+        fakes.append(np.asarray(jax.device_get(fake)))
+        reals.append(np.asarray(jax.device_get(real)))
+    fakes_np = np.concatenate(fakes)
+    reals_np = np.concatenate(reals)
+    out = evaluate_pairs(fakes_np, reals_np)
+    if n >= 128:  # Fréchet stats need a reasonable sample
+        extractor = vgg_fid_extractor(image_shape=fakes_np.shape[1:])
+        out["fid_vgg"] = compute_fid(extractor, reals, fakes)
+    return out
 
 
 def main(argv: Optional[list] = None) -> str:
@@ -143,6 +176,10 @@ def main(argv: Optional[list] = None) -> str:
         logger.record_tabular("epoch", epoch)
         logger.record_tabular("step", step)
         logger.record_dict(m)
+        if args.eval_interval and epoch % args.eval_interval == 0:
+            logger.record_dict(
+                evaluate_generator(trainer, ds, args.eval_num), prefix="eval/"
+            )
         logger.record_tabular("time_s", round(time.time() - t_start, 1))
         logger.dump_tabular()
         if epoch % args.save_epoch_freq == 0 or epoch == args.niter:
