@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "every N epochs; 0 disables")
     p.add_argument("--eval_num", type=int, default=256,
                    help="held-out pairs used for evaluation")
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="orbax checkpoint dir: saves full train state "
+                        "(G+D params/optimizers) per epoch and auto-resumes "
+                        "from the latest step")
     return p
 
 
@@ -157,10 +161,33 @@ def main(argv: Optional[list] = None) -> str:
     trainer.d_state = shard_pytree(mesh, trainer.d_state)
 
     os.makedirs(args.checkpoints_dir, exist_ok=True)
-    rng = np.random.RandomState(args.seed)
+
+    ckpt_mgr = None
+    start_epoch = 1
+    if args.resume_dir:
+        from s2p_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(args.resume_dir, max_to_keep=2)
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            state = ckpt_mgr.restore(
+                dict(g=trainer.g_state.params, g_opt=trainer.g_state.opt_state,
+                     d=trainer.d_state.params, d_opt=trainer.d_state.opt_state),
+                latest,
+            )
+            trainer.g_state = trainer.g_state.replace(
+                params=state["g"], opt_state=state["g_opt"], step=latest
+            )
+            trainer.d_state = trainer.d_state.replace(
+                params=state["d"], opt_state=state["d_opt"], step=latest
+            )
+            start_epoch = latest + 1
+            logger.log(f"resumed from {args.resume_dir} at epoch {latest}")
+
+    rng = np.random.RandomState(args.seed + start_epoch)
     step = 0
     t_start = time.time()
-    for epoch in range(1, args.niter + 1):
+    for epoch in range(start_epoch, args.niter + 1):
         for batch in ds.batches(args.batchSize, rng):
             metrics = trainer.train_step(shard_batch(mesh, batch))
             step += 1
@@ -184,8 +211,16 @@ def main(argv: Optional[list] = None) -> str:
         logger.dump_tabular()
         if epoch % args.save_epoch_freq == 0 or epoch == args.niter:
             _save_checkpoint(args, epoch, trainer, params_to_state_dict)
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(epoch, jax.device_get(dict(
+                g=trainer.g_state.params, g_opt=trainer.g_state.opt_state,
+                d=trainer.d_state.params, d_opt=trainer.d_state.opt_state,
+            )))
         if args.max_steps and step >= args.max_steps:
             break
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+        ckpt_mgr.close()
     logger.close()
     return log_dir
 

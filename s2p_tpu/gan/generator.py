@@ -76,18 +76,19 @@ class PositionalEmbedding(nn.Module):
 
 
 def upsample_nearest(x: jax.Array, out_size: int) -> jax.Array:
-    """Nearest-neighbor upsample to (out_size, out_size).
+    """Nearest-neighbor upsample to (out_size, out_size), bit-faithful to
+    torch ``F.interpolate(mode='nearest')``.
 
     Exact 2× (the 64px chain) lowers as broadcast+reshape — cheaper on TPU
-    than jax.image.resize's gather; non-integer scales (the ceil(n/2) 100px
-    chain: 7→13, 13→25, 25→50) keep resize, whose index rule matches
-    torch ``F.interpolate(..., mode='nearest')`` for exact 2× (the parity-
-    tested case)."""
+    than a gather; the ceil(n/2) 100px chain's non-integer steps (7→13,
+    13→25) use torch's index rule ``src = floor(dst·in/out)`` explicitly
+    (jax.image.resize's nearest rounds differently — measured divergence)."""
     B, H, W, C = x.shape
     if out_size == 2 * H:
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
         return x.reshape(B, 2 * H, 2 * W, C)
-    return jax.image.resize(x, (B, out_size, out_size, C), method="nearest")
+    idx = jnp.arange(out_size) * H // out_size
+    return x[:, idx][:, :, idx]
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:

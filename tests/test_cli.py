@@ -96,3 +96,23 @@ def test_simple_test_cli_init_random(tiny_hdf5, tmp_path):
         "--results_dir", str(tmp_path / "results"),
     ])
     assert any(f.startswith("gen_") for f in os.listdir(out_dir))
+
+
+def test_train_gan_resume(tiny_hdf5, tmp_path):
+    """Orbax resume: a second invocation with --resume_dir continues from
+    the saved epoch instead of restarting (SURVEY §5.4 aux subsystem)."""
+    from s2p_tpu.cli.train_gan import main
+
+    common = [
+        "--dataroot", tiny_hdf5, "--batchSize", "8", "--ngf", "8",
+        "--ndf", "8", "--num_D", "1", "--n_layers_D", "2", "--no_vgg_loss",
+        "--eval_interval", "0", "--max_steps", "1",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--resume_dir", str(tmp_path / "orbax"),
+    ]
+    main(common + ["--niter", "1"])
+    log_dir = main(common + ["--niter", "2"])
+    with open(osp.join(log_dir, "debug.log")) as f:
+        text = f.read()
+    assert "resumed from" in text and "at epoch 1" in text

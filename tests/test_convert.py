@@ -42,15 +42,18 @@ def test_state_dict_covers_flax_template_exactly():
     assert flat_a == flat_b
 
 
-def test_generator_pixel_parity_torch_vs_jax():
-    """Identical weights → identical pixels (64px cheetah demo config)."""
-    gen, twin, template = _pair(image_size=64)
+@pytest.mark.parametrize("size", [64, 100])
+def test_generator_pixel_parity_torch_vs_jax(size):
+    """Identical weights → identical pixels, both the 64px demo config and
+    the 100px RL config (non-integer upsample chain uses torch's exact
+    nearest index rule)."""
+    gen, twin, template = _pair(image_size=size)
     sd = {k: v.numpy() for k, v in twin.state_dict().items()}
     params = {"params": state_dict_to_params(sd, template)}
 
     rs = np.random.RandomState(0)
     s_np = rs.randn(2, STATE_DIM).astype(np.float32)
-    img_np = (rs.rand(2, 64, 64, 3).astype(np.float32) * 2) - 1
+    img_np = (rs.rand(2, size, size, 3).astype(np.float32) * 2) - 1
 
     out_jax = gen.apply(params, jnp.asarray(s_np), jnp.asarray(img_np))
     with torch.no_grad():
