@@ -6,6 +6,23 @@ from s2p_tpu.data.hdf5 import (
 )
 from s2p_tpu.data.replay import SlacReplayBuffer, SimpleReplayBuffer
 from s2p_tpu.data.pair_dataset import S2PPairDataset
+from s2p_tpu.data.env_replay_buffer import (
+    EnvReplayBuffer,
+    FixedNormalizer,
+    Normalizer,
+    PathBuilder,
+)
+from s2p_tpu.data.her_buffer import ObsDictRelabelingBuffer
+from s2p_tpu.data.multitask_buffer import (
+    MetaRLAlgorithm,
+    MultiTaskReplayBuffer,
+    SplitReplayBuffer,
+)
+from s2p_tpu.data.path_loaders import (
+    DictToMDPPathLoader,
+    HDF5PathLoader,
+    load_hdf5,
+)
 
 __all__ = [
     "load_rl_dataset",
@@ -15,4 +32,15 @@ __all__ = [
     "SlacReplayBuffer",
     "SimpleReplayBuffer",
     "S2PPairDataset",
+    "EnvReplayBuffer",
+    "FixedNormalizer",
+    "Normalizer",
+    "PathBuilder",
+    "ObsDictRelabelingBuffer",
+    "MetaRLAlgorithm",
+    "MultiTaskReplayBuffer",
+    "SplitReplayBuffer",
+    "DictToMDPPathLoader",
+    "HDF5PathLoader",
+    "load_hdf5",
 ]

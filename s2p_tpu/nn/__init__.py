@@ -16,3 +16,22 @@ __all__ = [
     "Delta",
     "LinearTransform",
 ]
+from s2p_tpu.nn.mixture import GaussianMixture
+from s2p_tpu.nn.mlp import MultiHeadedMlp
+from s2p_tpu.nn.misc_nets import (
+    FeatPointMlp,
+    ImageStatePolicy,
+    ImageStateQ,
+    PretrainedCNN,
+    SpatialSoftmaxEncoder,
+)
+
+__all__ += [
+    "GaussianMixture",
+    "MultiHeadedMlp",
+    "FeatPointMlp",
+    "ImageStatePolicy",
+    "ImageStateQ",
+    "PretrainedCNN",
+    "SpatialSoftmaxEncoder",
+]

@@ -13,6 +13,16 @@ from s2p_tpu.rl.critics import (
 )
 from s2p_tpu.rl.iql import IQLTrainer
 from s2p_tpu.rl.cql import CQLTrainer
+from s2p_tpu.rl.sac import SACTrainer
+from s2p_tpu.rl.vae_policy import PolicyFromQ, VAEPolicy
+from s2p_tpu.rl.encoders import (
+    CURL,
+    EncoderCritic,
+    EncoderQfunction,
+    EncoderVFunction,
+    PixelEncoder,
+    TanhGaussianPolicyWithEncoder,
+)
 
 __all__ = [
     "GaussianPolicy",
@@ -26,4 +36,13 @@ __all__ = [
     "with_q_params",
     "IQLTrainer",
     "CQLTrainer",
+    "SACTrainer",
+    "PolicyFromQ",
+    "VAEPolicy",
+    "CURL",
+    "EncoderCritic",
+    "EncoderQfunction",
+    "EncoderVFunction",
+    "PixelEncoder",
+    "TanhGaussianPolicyWithEncoder",
 ]

@@ -21,3 +21,7 @@ __all__ = [
     "SlacAlgorithm",
     "convert_latent_state_dict",
 ]
+from s2p_tpu.slac.networks import SlacGaussianPolicy, TwinnedQNetwork
+from s2p_tpu.slac.pretrain import pretrain_latent
+
+__all__ += ["SlacGaussianPolicy", "TwinnedQNetwork", "pretrain_latent"]
