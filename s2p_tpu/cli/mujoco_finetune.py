@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="real image RL HDF5")
     p.add_argument("--data_path_gen", type=str, default=None,
                    help="S2P-generated augment HDF5")
+    p.add_argument("--gan_checkpoint", type=str, default=None,
+                   help="S2P generator checkpoint (.pth/.pkl): synthesize "
+                        "the generated next-frames ON DEVICE while "
+                        "ingesting --data_path_gen (no -rl.hdf5 file needed)")
+    p.add_argument("--gan_ngf", type=int, default=64)
     p.add_argument("--data_mix_type", type=str,
                    default="all_state_1step_random_action")
     p.add_argument("--data_mix_num_real", type=int, default=None)
@@ -141,12 +146,47 @@ def experiment(variant) -> str:
         )
         logger.log(f"real data: {n} sequence slots")
     if variant["data_path_gen"]:
-        n = slac.load_data_in_buffer(
-            variant["data_path_gen"], data_num=variant["data_mix_num_gen"],
-            generated_for_slac=True, data_mix_type=variant["data_mix_type"],
-            uncertainty_type=variant["uncertainty_type"],
-            uncertainty_penalty_lambda=variant["uncertainty_penalty_lambda"],
-        )
+        generated_frames = None
+        if variant.get("gan_checkpoint"):
+            # on-device generation: i_{t+1} = G(s_{t+1}, i_t) synthesized by
+            # the S2P generator straight into the replay buffer
+            import jax.numpy as jnp
+
+            from s2p_tpu.cli.generate_images import generate_images_for_dataset
+            from s2p_tpu.data.hdf5 import load_augment_dataset
+            from s2p_tpu.gan import S2PGenerator
+            from s2p_tpu.gan.convert import load_generator_checkpoint
+
+            gen_ds = load_augment_dataset(
+                variant["data_path_gen"], variant["data_mix_num_gen"]
+            )
+            H = gen_ds["image_observations"].shape[1]
+            gen = S2PGenerator(image_size=H, ngf=variant["gan_ngf"])
+            gan_vars = load_generator_checkpoint(
+                variant["gan_checkpoint"], gen,
+                jnp.zeros((1, gen_ds["next_observations"].shape[1])),
+                jnp.zeros((1, H, H, gen_ds["image_observations"].shape[-1])),
+            )
+            generated_frames = generate_images_for_dataset(
+                gen_ds, gen, gan_vars, bf16=True
+            )
+            logger.log(
+                f"synthesized {len(generated_frames)} next-frames on device "
+                f"from {variant['gan_checkpoint']}"
+            )
+            buf = slac.buffer_gen if slac.use_seperate_buffer else slac.buffer
+            n = buf.ingest_generated(
+                gen_ds, variant["uncertainty_type"],
+                variant["uncertainty_penalty_lambda"],
+                generated_frames=generated_frames,
+            )
+        else:
+            n = slac.load_data_in_buffer(
+                variant["data_path_gen"], data_num=variant["data_mix_num_gen"],
+                generated_for_slac=True, data_mix_type=variant["data_mix_type"],
+                uncertainty_type=variant["uncertainty_type"],
+                uncertainty_penalty_lambda=variant["uncertainty_penalty_lambda"],
+            )
         logger.log(f"generated data: {n} sequence slots "
                    f"(uncertainty={variant['uncertainty_type']}, "
                    f"lambda={variant['uncertainty_penalty_lambda']})")
