@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import abc
 import copy
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 
 class Trainer(metaclass=abc.ABCMeta):

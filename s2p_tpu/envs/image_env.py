@@ -14,7 +14,7 @@ Capability contracts:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -12,7 +12,7 @@ The env API is the reference's gym-classic 4-tuple ``step`` with
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -20,7 +20,7 @@ torch module names, and layouts are inferred from leaf name + rank:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Set, Tuple
+from typing import Any, Dict, Mapping, Set
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ both of S2P's modalities.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import flax.linen as nn
 import jax

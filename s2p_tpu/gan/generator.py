@@ -34,8 +34,7 @@ TPU-first design choices:
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,6 @@ leading dims; inputs are NHWC in [-1, 1].
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Iterable, List, Tuple
 
 import jax

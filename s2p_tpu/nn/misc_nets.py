@@ -13,7 +13,7 @@ Capability contracts:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -9,8 +9,6 @@ reference: means/stds [B, D, K]; weights [B, K] (the reference carries
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.struct
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,10 @@ one param tree gives the reference's single fused critic optimizer
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from s2p_tpu.nn.mlp import ConcatMlp, Mlp
 

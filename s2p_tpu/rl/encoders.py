@@ -13,7 +13,7 @@ Layout: NHWC pixel input in [0, 1]; ``detach_encoder`` becomes an explicit
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -25,7 +25,7 @@ latent.py:264-275). Sampling noise comes from explicit PRNG keys.
 from __future__ import annotations
 
 import math
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax

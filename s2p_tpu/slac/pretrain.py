@@ -8,7 +8,6 @@ checkpoint every ``save_every`` (reference 5k) to ``save_dir``.
 
 from __future__ import annotations
 
-import os.path as osp
 import time
 from typing import Callable, Dict, Optional
 

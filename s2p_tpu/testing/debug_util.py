@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import pickle
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import copy
 import json
-from typing import Any, Iterator, Mapping
+from typing import Any, Mapping
 
 
 class Config(dict):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import os.path as osp
 import time
-from typing import Any, Callable, List, Mapping, Optional
+from typing import Any, Callable, List, Mapping
 
 from s2p_tpu.utils.io import save_pickle
 from s2p_tpu.utils.logging import logger, setup_logger

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator
 
 import jax
 

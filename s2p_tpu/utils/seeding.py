@@ -15,7 +15,7 @@ explicit, so instead of a global we provide:
 from __future__ import annotations
 
 import random
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import numpy as np

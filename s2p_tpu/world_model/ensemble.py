@@ -21,7 +21,6 @@ compiled into one jitted step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn

@@ -18,7 +18,7 @@ for window indices, which stay host-side numpy.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
