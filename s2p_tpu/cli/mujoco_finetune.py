@@ -120,10 +120,11 @@ def experiment(variant) -> str:
         max_path_length = min(max_path_length, 10)
         num_eval_steps = max_path_length
 
-    assert variant["slac_representation"], (
-        "the shipped S2P configs are SLAC-representation runs "
-        "(run_iql_image.sh); state-RL uses the plain trainers directly"
-    )
+    if not variant["slac_representation"]:
+        return _state_rl_experiment(
+            variant, eval_env, expl_env, action_dim, max_path_length,
+            num_eval_steps,
+        )
     slac = SlacAlgorithm(
         action_dim=action_dim,
         num_sequences=8,
@@ -267,6 +268,75 @@ def experiment(variant) -> str:
     algo.train()
     logger.close()
     return log_dir
+
+
+def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
+                         max_path_length, num_eval_steps) -> str:
+    """State-observation offline RL (reference image_rl=False branch,
+    iql_trainer.py:276-301 / cql_trainer.py state path): plain IQL/CQL over
+    flat observations loaded from the HDF5 into an EnvReplayBuffer."""
+    from s2p_tpu.core import BatchRLAlgorithm
+    from s2p_tpu.data.env_replay_buffer import EnvReplayBuffer
+    from s2p_tpu.data.hdf5 import load_rl_dataset
+    from s2p_tpu.data.path_loaders import load_hdf5
+    from s2p_tpu.rl import CQLTrainer, CriticSLAC, IQLTrainer, TanhGaussianPolicy
+    from s2p_tpu.samplers import MdpPathCollector, PolicyAgent
+    from s2p_tpu.utils.logging import logger
+
+    assert not variant["image_rl"], "state RL path expects --image_rl unset"
+    obs_dim = eval_env.observation_space.shape[0]
+    buf = EnvReplayBuffer(int(2e6), eval_env)
+    assert variant["data_path_real"], "state RL needs --data_path_real"
+    ds = load_rl_dataset(variant["data_path_real"],
+                         variant["data_mix_num_real"])
+    n = load_hdf5(ds, buf)
+    logger.log(f"state-RL buffer: {n} transitions")
+
+    policy = TanhGaussianPolicy(hidden_sizes=(256, 256), action_dim=action_dim)
+    critic = CriticSLAC(hidden_sizes=(256, 256))
+    common = dict(policy=policy, critic=critic, obs_dim=obs_dim,
+                  policy_input_dim=obs_dim, action_dim=action_dim,
+                  seed=variant["seed"])
+    if variant["algo_type"] == "iql":
+        trainer = IQLTrainer(
+            discount=0.99, policy_lr=1e-4, qf_lr=3e-4, beta=1.0 / 10,
+            quantile=0.7, clip_score=100, soft_target_tau=0.005,
+            target_update_period=2, **common,
+        )
+    else:
+        trainer = CQLTrainer(
+            discount=0.99, policy_lr=1e-4, qf_lr=3e-4, soft_target_tau=5e-3,
+            policy_eval_start=40_000, min_q_weight=5.0, **common,
+        )
+    eval_agent = PolicyAgent(policy, trainer.policy_state.params,
+                             deterministic=True, seed=variant["seed"])
+    expl_agent = PolicyAgent(policy, trainer.policy_state.params,
+                             seed=variant["seed"] + 1)
+
+    def _sync(algo, epoch):
+        eval_agent.set_params(algo.trainer.policy_state.params)
+        expl_agent.set_params(algo.trainer.policy_state.params)
+
+    algo = BatchRLAlgorithm(
+        trainer=trainer,
+        exploration_env=expl_env, evaluation_env=eval_env,
+        exploration_data_collector=MdpPathCollector(expl_env, expl_agent),
+        evaluation_data_collector=MdpPathCollector(eval_env, eval_agent),
+        replay_buffer=buf,
+        batch_size=variant["batch_size"],
+        max_path_length=max_path_length,
+        num_epochs=variant["num_epochs"],
+        num_eval_steps_per_epoch=num_eval_steps,
+        num_expl_steps_per_train_loop=max_path_length,
+        num_trains_per_train_loop=variant["num_trains_per_train_loop"],
+        start_epoch=variant["start_epoch"],
+        seed=variant["seed"],
+    )
+    algo.post_epoch_funcs.append(_sync)
+    _sync(algo, algo.epoch)
+    algo.train()
+    logger.close()
+    return logger.log_dir or ""
 
 
 def _find_latent(d: str) -> str:

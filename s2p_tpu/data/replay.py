@@ -414,6 +414,11 @@ class SimpleReplayBuffer:
         ):
             self.add_sample(o, a, r, t, no)
 
+    def add_paths(self, paths) -> None:
+        """reference ReplayBuffer.add_paths (data_management/replay_buffer.py)."""
+        for path in paths:
+            self.add_path(path)
+
     def random_batch(self, batch_size: int, rng: Optional[np.random.RandomState] = None):
         rng = rng or np.random
         idx = rng.randint(0, self._size, size=batch_size)
