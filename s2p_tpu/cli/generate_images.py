@@ -61,7 +61,11 @@ def generate_images_for_dataset(
         out = generator.apply(variables, state.astype(dtype), prev)
         return ((out.astype(jnp.float32) + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
 
-    outs = []
+    # async pipeline: dispatch every chunk without waiting (jax queues the
+    # device work; host→device uploads of chunk k+1 overlap compute of k),
+    # then fetch all results in one pass
+    device_outs = []
+    lens = []
     for lo in range(0, n, batch_size):
         sl = slice(lo, min(lo + batch_size, n))
         # pad the tail to keep a single compiled shape
@@ -71,9 +75,12 @@ def generate_images_for_dataset(
         if pad:
             s = np.concatenate([s, np.zeros((pad,) + s.shape[1:], s.dtype)])
             p = np.concatenate([p, np.zeros((pad,) + p.shape[1:], p.dtype)])
-        out = np.asarray(jax.device_get(gen_batch(jnp.asarray(s), jnp.asarray(p))))
-        outs.append(out[: sl.stop - sl.start])
-    return np.concatenate(outs, axis=0)
+        device_outs.append(gen_batch(jnp.asarray(s), jnp.asarray(p)))
+        lens.append(sl.stop - sl.start)
+    outs = jax.device_get(device_outs)
+    return np.concatenate(
+        [np.asarray(o)[:k] for o, k in zip(outs, lens)], axis=0
+    )
 
 
 def main(argv: Optional[list] = None) -> str:
