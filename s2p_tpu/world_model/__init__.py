@@ -23,3 +23,6 @@ __all__ = [
     "compute_normalization",
     "generate_augmented_dataset",
 ]
+from s2p_tpu.world_model.rollout import generate_multistep_dataset
+
+__all__ += ["generate_multistep_dataset"]

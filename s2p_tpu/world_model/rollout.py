@@ -132,3 +132,82 @@ def generate_augmented_dataset(
     out["slac_observation_indices"] = np.concatenate(obs_idx_list, axis=0)
     out["slac_action_indices"] = np.concatenate(act_idx_list, axis=0)
     return out
+
+
+def generate_multistep_dataset(
+    dataset: Dict[str, np.ndarray],
+    model: EnsembleTransition,
+    params: Any,
+    normalization: Dict[str, np.ndarray],
+    action_low: np.ndarray,
+    action_high: np.ndarray,
+    horizon: int = 5,
+    n_starts: Optional[int] = None,
+    action_fn=None,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Multi-step rollout variants (reference rollout types
+    ``random_state_{1,5}step_random_action`` / ``random_state_5step_
+    offRL_action``, slac/algo.py:212): start from random dataset states and
+    roll the ensemble ``horizon`` steps with uniform-random actions (or
+    ``action_fn(obs) → actions`` for the offRL variant), one random member
+    per (sample, step). Returns a flat dataset with ``timeouts`` marking
+    each rollout's end plus per-step uncertainties; frames for
+    ``image_observations`` come from the starting rows (the GAN renders
+    the rest downstream)."""
+    rng = np.random.RandomState(seed)
+    obs_all = np.asarray(dataset["observations"], np.float32)
+    n_rows, obs_dim = obs_all.shape
+    act_dim = len(np.asarray(action_low).ravel())
+    n_starts = n_starts or n_rows
+    starts = rng.randint(0, n_rows, n_starts)
+
+    cur = obs_all[starts]
+    rows = {k: [] for k in ("obs", "act", "rew", "next", "dis", "ale")}
+    for _ in range(horizon):
+        norm_obs = (cur - normalization["obs_mean"]) / normalization["obs_std"]
+        if action_fn is not None:
+            actions = np.asarray(action_fn(cur), np.float32)
+        else:
+            actions = rng.uniform(
+                action_low, action_high, (n_starts, act_dim)
+            ).astype(np.float32)
+        member = rng.randint(0, model.ensemble_size, n_starts)
+        sel_obs, sel_rew, dis, ale = _predict(
+            model, params, jnp.asarray(norm_obs), jnp.asarray(actions),
+            jnp.asarray(member),
+        )
+        nxt = np.asarray(jax.device_get(sel_obs)) * \
+            normalization["next_obs_std"] + normalization["next_obs_mean"]
+        rew = np.asarray(jax.device_get(sel_rew)) * \
+            normalization["reward_std"] + normalization["reward_mean"]
+        rows["obs"].append(cur)
+        rows["act"].append(actions)
+        rows["rew"].append(rew.astype(np.float32))
+        rows["next"].append(nxt.astype(np.float32))
+        rows["dis"].append(np.asarray(jax.device_get(dis)))
+        rows["ale"].append(np.asarray(jax.device_get(ale)))
+        cur = nxt.astype(np.float32)
+
+    # interleave to trajectory-major order: rollout i occupies rows
+    # [i*horizon, (i+1)*horizon)
+    def stack(key):
+        return np.stack(rows[key], axis=1).reshape(n_starts * horizon, -1)
+
+    timeouts = np.zeros(n_starts * horizon, np.float32)
+    timeouts[horizon - 1 :: horizon] = 1.0
+    out = dict(
+        observations=stack("obs"),
+        actions=stack("act"),
+        rewards=stack("rew").ravel(),
+        next_observations=stack("next"),
+        timeouts=timeouts,
+        disagreement_uncertainty=stack("dis").astype(np.float32),
+        aleatoric_uncertainty=stack("ale").astype(np.float32),
+    )
+    if "image_observations" in dataset:
+        # starting frame repeated per rollout row; the GAN regenerates the
+        # rest autoregressively downstream
+        imgs = np.asarray(dataset["image_observations"])[starts]
+        out["image_observations"] = np.repeat(imgs, horizon, axis=0)
+    return out

@@ -184,3 +184,33 @@ def test_generate_augmented_dataset_schema(tmp_path):
 
     back = load_augment_dataset(str(tmp_path / "aug.hdf5"))
     assert "disagreement_uncertainty" in back
+
+
+def test_generate_multistep_dataset():
+    """random_state_5step rollout variant (reference slac/algo.py:212)."""
+    from s2p_tpu.world_model import generate_multistep_dataset
+
+    ds = make_synthetic_rl_dataset(n_episodes=2, episode_len=12, obs_dim=OBS,
+                                   act_dim=ACT, img_hw=8)
+    model, params = _model_and_params()
+    norm = compute_normalization(ds)
+    out = generate_multistep_dataset(
+        ds, model, params, norm,
+        action_low=np.full(ACT, -1.0), action_high=np.full(ACT, 1.0),
+        horizon=5, n_starts=4, seed=0,
+    )
+    assert out["observations"].shape == (20, OBS)
+    assert out["rewards"].shape == (20,)
+    assert (out["timeouts"][4::5] == 1).all()
+    assert (out["timeouts"][:4] == 0).all()
+    # chained rollout: row t+1's obs equals row t's next within a rollout
+    np.testing.assert_allclose(out["observations"][1], out["next_observations"][0],
+                               rtol=1e-5)
+    assert out["image_observations"].shape == (20, 8, 8, 3)
+    # offRL-action variant takes actions from a policy fn
+    out2 = generate_multistep_dataset(
+        ds, model, params, norm,
+        action_low=np.full(ACT, -1.0), action_high=np.full(ACT, 1.0),
+        horizon=2, n_starts=3, action_fn=lambda obs: np.zeros((len(obs), ACT)),
+    )
+    np.testing.assert_array_equal(out2["actions"], 0.0)
