@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--num_eval_steps_per_epoch", type=int, default=None)
     p.add_argument("--max_path_length", type=int, default=None)
+    p.add_argument("--scan_training", action="store_true",
+                   help="compile the whole inner training loop into one "
+                        "lax.scan with on-device batch sampling (TPU fast "
+                        "path; single-buffer configs only)")
     p.add_argument("--save_video_period", type=int, default=5)
     p.add_argument("--no_video", action="store_true")
     p.add_argument("--log_dir", type=str, default="./logs")
@@ -253,6 +257,7 @@ def experiment(variant) -> str:
         start_epoch=variant["start_epoch"],
         slac_representation=True,
         seed=variant["seed"],
+        scan_training=variant.get("scan_training", False),
     )
     algo.post_epoch_funcs.append(_sync_agents)
     if not variant["no_video"]:

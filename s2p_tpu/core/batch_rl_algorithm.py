@@ -57,6 +57,7 @@ class BatchRLAlgorithm:
         logger: Optional[Logger] = None,
         snapshot_gap: int = 10,
         seed: int = 0,
+        scan_training: bool = False,
     ):
         self.trainer = trainer
         self.expl_env = exploration_env
@@ -78,6 +79,15 @@ class BatchRLAlgorithm:
         self.logger = logger or global_logger
         self.snapshot_gap = snapshot_gap
         self.post_epoch_funcs: List[Callable] = []
+        # fold the whole inner training loop into ONE compiled lax.scan with
+        # on-device batch sampling (requires trainer.train_many + a
+        # device-resident buffer; not compatible with dual-buffer sampling)
+        self.scan_training = (
+            scan_training
+            and hasattr(trainer, "train_many")
+            and hasattr(replay_buffer, "device_state")
+            and replay_buffer_gen is None
+        )
         self.timer = PhaseTimer()
         self.epoch = start_epoch
         self.offline_rl = start_epoch < 0
@@ -128,6 +138,13 @@ class BatchRLAlgorithm:
                 self.replay_buffer.add_paths(new_paths)
             self.timer.stamp("data storing")
 
+            if self.scan_training:
+                last_metrics = self.trainer.train_many(
+                    self.num_trains_per_train_loop, self.batch_size,
+                    buffer=self.replay_buffer,
+                )
+                self.timer.stamp("training", sync=last_metrics)
+                continue
             last_metrics = None
             for _ in range(self.num_trains_per_train_loop):
                 if self.replay_buffer_gen is not None:

@@ -108,6 +108,11 @@ class IQLTrainer:
     @partial(jax.jit, static_argnums=(0, 6))
     def _step(self, policy_state, critic_state, target_q, batch, step, use_slac,
               slac_params=None, key=None):
+        return self._step_body(policy_state, critic_state, target_q, batch,
+                               step, use_slac, slac_params, key)
+
+    def _step_body(self, policy_state, critic_state, target_q, batch, step,
+                   use_slac, slac_params=None, key=None):
         rewards = batch["rewards"].reshape(-1, 1)
         terminals = batch["terminals"].reshape(-1, 1)
         actions = batch["actions"]
@@ -193,6 +198,82 @@ class IQLTrainer:
         )
         metrics = dict(critic_loss=critic_loss, **caux, **paux)
         return policy_state, critic_state, target_q, metrics
+
+    # -- scanned multi-step training ---------------------------------------
+    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _train_scan(self, policy_state, critic_state, target_q, slac,
+                    num_steps, batch_size, joint_latent, buf_state, step0, key):
+        """``num_steps`` IQL updates as ONE compiled lax.scan with on-device
+        batch sampling (SURVEY §7: kill the per-step host dispatch; the
+        reference pays a host round-trip per gradient step,
+        slac/buffer.py:153-167). ``slac`` = (params, opt_state) carried so
+        the joint latent update (iql_trainer.py:348-350) runs in-scan."""
+        from s2p_tpu.data.replay import _gather_windows
+
+        def sample(key):
+            k_idx, k_noise = jax.random.split(key)
+            idx = jax.random.randint(k_idx, (batch_size,), 0, buf_state["n"])
+            obs, act, rew, done = _gather_windows(
+                buf_state["frames"], buf_state["windows"],
+                buf_state["actions"], buf_state["rewards"],
+                buf_state["dones"], idx,
+            )
+            return dict(observations=obs, actions=act, rewards=rew[:, -1],
+                        terminals=done[:, -1]), k_noise
+
+        def body(carry, inp):
+            policy_state, critic_state, target_q, slac_params, slac_opt = carry
+            i, key = inp
+            k_batch, k_prep, k_lat = jax.random.split(key, 3)
+            batch, _ = sample(k_batch)
+            policy_state, critic_state, target_q, metrics = self._step_body(
+                policy_state, critic_state, target_q, batch, step0 + i,
+                True, slac_params, k_prep,
+            )
+            if joint_latent:
+                slac_params, slac_opt, lat_aux = self.slac_algo._latent_step(
+                    slac_params, slac_opt, self.slac_algo.batch_size_latent,
+                    buf_state, k_lat,
+                )
+                metrics = dict(metrics, loss_kld=lat_aux[0],
+                               loss_image=lat_aux[1], loss_reward=lat_aux[2])
+            return (policy_state, critic_state, target_q, slac_params,
+                    slac_opt), metrics
+
+        slac_params, slac_opt = slac
+        keys = jax.random.split(key, num_steps)
+        steps = jnp.arange(num_steps, dtype=jnp.uint32)
+        carry, metrics = jax.lax.scan(
+            body, (policy_state, critic_state, target_q, slac_params, slac_opt),
+            (steps, keys),
+        )
+        last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return carry, last_metrics
+
+    def train_many(self, num_steps: int, batch_size: int,
+                   buffer=None) -> Dict[str, float]:
+        """Run ``num_steps`` updates in one device program (SLAC path only;
+        requires a device-resident SlacReplayBuffer)."""
+        assert self.slac_algo is not None, "train_many requires the SLAC path"
+        buf = buffer or self.slac_algo.buffer
+        self._rng, key = jax.random.split(self._rng)
+        joint_latent = not self.freeze_slac and self.slac_update_period == 1
+        carry, metrics = self._train_scan(
+            self.policy_state, self.critic_state, self.target_q,
+            (self.slac_algo.params, self.slac_algo.opt_state),
+            num_steps, batch_size, joint_latent, buf.device_state(),
+            jnp.uint32(self._n_train_steps_total), key,
+        )
+        (self.policy_state, self.critic_state, self.target_q,
+         self.slac_algo.params, self.slac_algo.opt_state) = carry
+        self._n_train_steps_total += num_steps
+        self.slac_algo.learning_steps_latent += num_steps if joint_latent else 0
+        if self._need_stats:
+            self._need_stats = False
+            self.eval_statistics = {
+                k: float(v) for k, v in jax.device_get(metrics).items()
+            }
+        return metrics
 
     # -- trainer protocol --------------------------------------------------
     def train(self, batch: Dict[str, Any]) -> Dict[str, float]:

@@ -205,3 +205,92 @@ def test_iql_with_slac_representation():
     assert "loss_kld" in m  # joint latent update ran
     snap = tr.get_snapshot()
     assert "latent_params" in snap
+
+
+def test_iql_train_many_scan():
+    """Scanned multi-step training: N updates in one compiled call with
+    on-device batch sampling, joint latent updates in-scan (SURVEY §7)."""
+    from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset
+    from s2p_tpu.slac import SlacAlgorithm
+
+    ns = 4
+    slac = SlacAlgorithm(
+        action_dim=ACT, num_sequences=ns, buffer_size=100, batch_size_latent=2,
+        feature_dim=16, z1_dim=4, z2_dim=8, hidden_units=(16, 16),
+        image_size=64, seed=0,
+    )
+    slac.buffer.ingest_real(
+        make_synthetic_rl_dataset(n_episodes=1, episode_len=8, obs_dim=5,
+                                  act_dim=ACT, img_hw=64)
+    )
+    tr = IQLTrainer(
+        policy=TanhGaussianPolicy(hidden_sizes=(16,), action_dim=ACT),
+        critic=CriticSLAC(hidden_sizes=(16,)),
+        obs_dim=4 + 8, policy_input_dim=slac.feature_action_dim,
+        action_dim=ACT, slac_algo=slac,
+    )
+    p0 = jax.device_get(tr.policy_state.params)
+    lat0 = jax.device_get(slac.params)
+    m = tr.train_many(num_steps=5, batch_size=4)
+    host = jax.device_get(m)
+    assert np.isfinite(host["critic_loss"]) and np.isfinite(host["policy_loss"])
+    assert "loss_kld" in host  # joint latent update ran in-scan
+    assert tr._n_train_steps_total == 5
+    # both policy and latent params moved
+    p1 = jax.device_get(tr.policy_state.params)
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))
+    )
+    lat_changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(lat0),
+                        jax.tree_util.tree_leaves(jax.device_get(slac.params)))
+    )
+    assert changed and lat_changed
+
+
+def test_batch_algorithm_scan_training_path():
+    from s2p_tpu.core import BatchRLAlgorithm
+    from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset
+    from s2p_tpu.envs import StubEnv
+    from s2p_tpu.samplers import MdpPathCollector, PolicyAgent
+    from s2p_tpu.slac import SlacAlgorithm
+    from s2p_tpu.utils.logging import Logger
+    import tempfile
+
+    ns, hw = 4, 64
+    slac = SlacAlgorithm(
+        action_dim=ACT, num_sequences=ns, buffer_size=100, batch_size_latent=2,
+        feature_dim=16, z1_dim=4, z2_dim=8, hidden_units=(16, 16),
+        image_size=hw, seed=0,
+    )
+    slac.buffer.ingest_real(
+        make_synthetic_rl_dataset(n_episodes=1, episode_len=8, obs_dim=5,
+                                  act_dim=ACT, img_hw=hw)
+    )
+    policy = TanhGaussianPolicy(hidden_sizes=(16,), action_dim=ACT)
+    tr = IQLTrainer(
+        policy=policy, critic=CriticSLAC(hidden_sizes=(16,)),
+        obs_dim=4 + 8, policy_input_dim=slac.feature_action_dim,
+        action_dim=ACT, slac_algo=slac, freeze_slac=True,
+    )
+    env = StubEnv(action_dim=ACT, max_episode_steps=4, image_shape=(hw, hw, 3))
+    agent = PolicyAgent(policy, tr.policy_state.params, deterministic=True)
+    with tempfile.TemporaryDirectory() as d:
+        log = Logger()
+        log.set_log_dir(d)
+        log.set_print_tabular(False)
+        algo = BatchRLAlgorithm(
+            trainer=tr, exploration_env=env, evaluation_env=env,
+            exploration_data_collector=MdpPathCollector(env, agent, slac_algo=slac),
+            evaluation_data_collector=MdpPathCollector(env, agent, slac_algo=slac),
+            replay_buffer=slac.buffer, batch_size=4, max_path_length=4,
+            num_epochs=1, num_eval_steps_per_epoch=4,
+            num_expl_steps_per_train_loop=1, num_trains_per_train_loop=3,
+            start_epoch=0, slac_representation=True, logger=log,
+            scan_training=True,
+        )
+        assert algo.scan_training
+        algo.train()
+    assert tr._n_train_steps_total == 3
