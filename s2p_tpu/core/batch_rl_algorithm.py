@@ -80,13 +80,14 @@ class BatchRLAlgorithm:
         self.snapshot_gap = snapshot_gap
         self.post_epoch_funcs: List[Callable] = []
         # fold the whole inner training loop into ONE compiled lax.scan with
-        # on-device batch sampling (requires trainer.train_many + a
-        # device-resident buffer; not compatible with dual-buffer sampling)
+        # on-device batch sampling (requires trainer.train_many +
+        # device-resident buffers; dual-buffer configs sample 50/50 in-scan)
         self.scan_training = (
             scan_training
             and hasattr(trainer, "train_many")
             and hasattr(replay_buffer, "device_state")
-            and replay_buffer_gen is None
+            and (replay_buffer_gen is None
+                 or hasattr(replay_buffer_gen, "device_state"))
         )
         self.timer = PhaseTimer()
         self.epoch = start_epoch
@@ -142,6 +143,7 @@ class BatchRLAlgorithm:
                 last_metrics = self.trainer.train_many(
                     self.num_trains_per_train_loop, self.batch_size,
                     buffer=self.replay_buffer,
+                    buffer_gen=self.replay_buffer_gen,
                 )
                 self.timer.stamp("training", sync=last_metrics)
                 continue

@@ -140,6 +140,15 @@ class CQLTrainer:
     def _step(self, policy_state, critic_state, target_q, log_alpha,
               alpha_opt_state, log_alpha_prime, alpha_prime_opt_state,
               batch, use_slac, step, key, slac_params=None):
+        return self._step_body(
+            policy_state, critic_state, target_q, log_alpha, alpha_opt_state,
+            log_alpha_prime, alpha_prime_opt_state, batch, use_slac, step,
+            key, slac_params,
+        )
+
+    def _step_body(self, policy_state, critic_state, target_q, log_alpha,
+                   alpha_opt_state, log_alpha_prime, alpha_prime_opt_state,
+                   batch, use_slac, step, key, slac_params=None):
         N = self.num_random
         rewards = batch["rewards"].reshape(-1, 1)
         terminals = batch["terminals"].reshape(-1, 1)
@@ -312,6 +321,76 @@ class CQLTrainer:
         dist = self.policy_module.apply(p_params, obs)
         a, lp = dist.sample_and_log_prob(key)
         return a, lp.reshape(-1, 1)
+
+    # -- scanned multi-step training ---------------------------------------
+    @partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _train_scan(self, carry0, slac, num_steps, batch_size, joint_latent,
+                    buf_state, step0, key, buf_gen_state=None):
+        """``num_steps`` CQL updates as ONE compiled lax.scan with on-device
+        (optionally 50/50 real/generated) batch sampling."""
+        from s2p_tpu.rl.scan_utils import make_window_sampler
+
+        sample = make_window_sampler(buf_state, batch_size, buf_gen_state)
+
+        def body(carry, inp):
+            (policy_state, critic_state, target_q, log_alpha, alpha_opt,
+             log_alpha_prime, alpha_prime_opt, slac_params, slac_opt) = carry
+            i, key = inp
+            k_batch, k_step, k_lat = jax.random.split(key, 3)
+            batch = sample(k_batch)
+            (policy_state, critic_state, target_q, log_alpha, alpha_opt,
+             log_alpha_prime, alpha_prime_opt, metrics) = self._step_body(
+                policy_state, critic_state, target_q, log_alpha, alpha_opt,
+                log_alpha_prime, alpha_prime_opt, batch, True, step0 + i,
+                k_step, slac_params,
+            )
+            if joint_latent:
+                slac_params, slac_opt, lat_aux = self.slac_algo._latent_step(
+                    slac_params, slac_opt, self.slac_algo.batch_size_latent,
+                    buf_state, k_lat,
+                )
+                metrics = dict(metrics, loss_kld=lat_aux[0],
+                               loss_image=lat_aux[1], loss_reward=lat_aux[2])
+            return (policy_state, critic_state, target_q, log_alpha,
+                    alpha_opt, log_alpha_prime, alpha_prime_opt, slac_params,
+                    slac_opt), metrics
+
+        slac_params, slac_opt = slac
+        keys = jax.random.split(key, num_steps)
+        steps = jnp.arange(num_steps, dtype=jnp.uint32)
+        carry, metrics = jax.lax.scan(
+            body, carry0 + (slac_params, slac_opt), (steps, keys)
+        )
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return carry, last
+
+    def train_many(self, num_steps: int, batch_size: int,
+                   buffer=None, buffer_gen=None) -> Dict[str, float]:
+        assert self.slac_algo is not None, "train_many requires the SLAC path"
+        buf = buffer or self.slac_algo.buffer
+        self._rng, key = jax.random.split(self._rng)
+        joint_latent = not self.freeze_slac and self.slac_update_period == 1
+        carry0 = (self.policy_state, self.critic_state, self.target_q,
+                  self.log_alpha, self.alpha_opt_state, self.log_alpha_prime,
+                  self.alpha_prime_opt_state)
+        carry, metrics = self._train_scan(
+            carry0, (self.slac_algo.params, self.slac_algo.opt_state),
+            num_steps, batch_size, joint_latent, buf.device_state(),
+            jnp.uint32(self._n_train_steps_total), key,
+            buffer_gen.device_state() if buffer_gen is not None else None,
+        )
+        (self.policy_state, self.critic_state, self.target_q, self.log_alpha,
+         self.alpha_opt_state, self.log_alpha_prime, self.alpha_prime_opt_state,
+         self.slac_algo.params, self.slac_algo.opt_state) = carry
+        self._n_train_steps_total += num_steps
+        if joint_latent:
+            self.slac_algo.learning_steps_latent += num_steps
+        if self._need_stats:
+            self._need_stats = False
+            self.eval_statistics = {
+                k: float(v) for k, v in jax.device_get(metrics).items()
+            }
+        return metrics
 
     # -- trainer protocol --------------------------------------------------
     def train(self, batch: Dict[str, Any]) -> Dict[str, float]:

@@ -202,30 +202,23 @@ class IQLTrainer:
     # -- scanned multi-step training ---------------------------------------
     @partial(jax.jit, static_argnums=(0, 5, 6, 7))
     def _train_scan(self, policy_state, critic_state, target_q, slac,
-                    num_steps, batch_size, joint_latent, buf_state, step0, key):
+                    num_steps, batch_size, joint_latent, buf_state, step0, key,
+                    buf_gen_state=None):
         """``num_steps`` IQL updates as ONE compiled lax.scan with on-device
         batch sampling (SURVEY §7: kill the per-step host dispatch; the
         reference pays a host round-trip per gradient step,
         slac/buffer.py:153-167). ``slac`` = (params, opt_state) carried so
-        the joint latent update (iql_trainer.py:348-350) runs in-scan."""
-        from s2p_tpu.data.replay import _gather_windows
+        the joint latent update (iql_trainer.py:348-350) runs in-scan; with
+        ``buf_gen_state`` batches are 50/50 real/generated."""
+        from s2p_tpu.rl.scan_utils import make_window_sampler
 
-        def sample(key):
-            k_idx, k_noise = jax.random.split(key)
-            idx = jax.random.randint(k_idx, (batch_size,), 0, buf_state["n"])
-            obs, act, rew, done = _gather_windows(
-                buf_state["frames"], buf_state["windows"],
-                buf_state["actions"], buf_state["rewards"],
-                buf_state["dones"], idx,
-            )
-            return dict(observations=obs, actions=act, rewards=rew[:, -1],
-                        terminals=done[:, -1]), k_noise
+        sample = make_window_sampler(buf_state, batch_size, buf_gen_state)
 
         def body(carry, inp):
             policy_state, critic_state, target_q, slac_params, slac_opt = carry
             i, key = inp
             k_batch, k_prep, k_lat = jax.random.split(key, 3)
-            batch, _ = sample(k_batch)
+            batch = sample(k_batch)
             policy_state, critic_state, target_q, metrics = self._step_body(
                 policy_state, critic_state, target_q, batch, step0 + i,
                 True, slac_params, k_prep,
@@ -251,9 +244,10 @@ class IQLTrainer:
         return carry, last_metrics
 
     def train_many(self, num_steps: int, batch_size: int,
-                   buffer=None) -> Dict[str, float]:
+                   buffer=None, buffer_gen=None) -> Dict[str, float]:
         """Run ``num_steps`` updates in one device program (SLAC path only;
-        requires a device-resident SlacReplayBuffer)."""
+        requires device-resident SlacReplayBuffers). ``buffer_gen`` enables
+        the 50/50 real/generated sampling rule."""
         assert self.slac_algo is not None, "train_many requires the SLAC path"
         buf = buffer or self.slac_algo.buffer
         self._rng, key = jax.random.split(self._rng)
@@ -263,6 +257,7 @@ class IQLTrainer:
             (self.slac_algo.params, self.slac_algo.opt_state),
             num_steps, batch_size, joint_latent, buf.device_state(),
             jnp.uint32(self._n_train_steps_total), key,
+            buffer_gen.device_state() if buffer_gen is not None else None,
         )
         (self.policy_state, self.critic_state, self.target_q,
          self.slac_algo.params, self.slac_algo.opt_state) = carry

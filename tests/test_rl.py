@@ -294,3 +294,35 @@ def test_batch_algorithm_scan_training_path():
         assert algo.scan_training
         algo.train()
     assert tr._n_train_steps_total == 3
+
+
+def test_cql_train_many_and_dual_buffer():
+    """CQL scanned loop + 50/50 real/generated sampling in-scan."""
+    from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset
+    from s2p_tpu.slac import SlacAlgorithm
+
+    ns = 4
+    slac = SlacAlgorithm(
+        action_dim=ACT, num_sequences=ns, buffer_size=100, batch_size_latent=2,
+        feature_dim=16, z1_dim=4, z2_dim=8, hidden_units=(16, 16),
+        image_size=64, use_seperate_buffer=True, seed=0,
+    )
+    ds = make_synthetic_rl_dataset(n_episodes=1, episode_len=8, obs_dim=5,
+                                   act_dim=ACT, img_hw=64)
+    slac.buffer.ingest_real(ds)
+    slac.buffer_gen.ingest_real(
+        make_synthetic_rl_dataset(n_episodes=1, episode_len=8, obs_dim=5,
+                                  act_dim=ACT, img_hw=64, seed=1)
+    )
+    tr = CQLTrainer(
+        policy=TanhGaussianPolicy(hidden_sizes=(16,), action_dim=ACT),
+        critic=CriticSLAC(hidden_sizes=(16,)),
+        obs_dim=4 + 8, policy_input_dim=slac.feature_action_dim,
+        action_dim=ACT, slac_algo=slac, policy_eval_start=0, num_random=2,
+    )
+    m = tr.train_many(num_steps=3, batch_size=4, buffer=slac.buffer,
+                      buffer_gen=slac.buffer_gen)
+    host = jax.device_get(m)
+    assert np.isfinite(host["critic_loss"]) and np.isfinite(host["policy_loss"])
+    assert "loss_kld" in host
+    assert tr._n_train_steps_total == 3
