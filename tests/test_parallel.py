@@ -77,3 +77,18 @@ def test_sharded_matmul_model_axis(mesh8):
     np.testing.assert_allclose(
         np.asarray(f(x_sh, w_sh)), np.tanh(x @ w), rtol=1e-5, atol=1e-6
     )
+
+
+def test_distributed_helpers_single_process():
+    from s2p_tpu.parallel.distributed import (
+        global_mesh,
+        host_local_batch_slice,
+        initialize_distributed,
+    )
+
+    # single-process run: no-op, returns False
+    assert initialize_distributed() is False
+    sl = host_local_batch_slice(32)
+    assert sl == slice(0, 32)  # one host owns the whole batch
+    mesh = global_mesh(data=-1, model=1)
+    assert mesh.shape["data"] == len(jax.devices())
