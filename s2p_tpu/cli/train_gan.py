@@ -186,6 +186,7 @@ def main(argv: Optional[list] = None) -> str:
 
     rng = np.random.RandomState(args.seed + start_epoch)
     step = 0
+    last_eval = None
     t_start = time.time()
     for epoch in range(start_epoch, args.niter + 1):
         for batch in ds.batches(args.batchSize, rng):
@@ -203,10 +204,14 @@ def main(argv: Optional[list] = None) -> str:
         logger.record_tabular("epoch", epoch)
         logger.record_tabular("step", step)
         logger.record_dict(m)
-        if args.eval_interval and epoch % args.eval_interval == 0:
-            logger.record_dict(
-                evaluate_generator(trainer, ds, args.eval_num), prefix="eval/"
-            )
+        if args.eval_interval and (
+            epoch == start_epoch or epoch % args.eval_interval == 0
+        ):
+            last_eval = evaluate_generator(trainer, ds, args.eval_num)
+        if last_eval is not None:
+            # record every epoch so the frozen csv header includes the eval
+            # columns from the first dump (logging.py key-freeze contract)
+            logger.record_dict(last_eval, prefix="eval/")
         logger.record_tabular("time_s", round(time.time() - t_start, 1))
         logger.dump_tabular()
         if epoch % args.save_epoch_freq == 0 or epoch == args.niter:
