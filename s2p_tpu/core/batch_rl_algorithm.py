@@ -27,6 +27,7 @@ import pickle
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from s2p_tpu.utils.logging import Logger, logger as global_logger
@@ -150,10 +151,21 @@ class BatchRLAlgorithm:
             last_metrics = None
             for _ in range(self.num_trains_per_train_loop):
                 if self.replay_buffer_gen is not None:
+                    # 50/50 real/generated per gradient step
+                    # (batch_rl_algorithm.py:131-136 intent; the trainers
+                    # consume one concatenated batch)
                     half = self.batch_size // 2
                     batch = self._random_batch(self.replay_buffer, half)
-                    batch_gen = self._random_batch(self.replay_buffer_gen, half)
-                    last_metrics = self.trainer.train(batch, batch_gen=batch_gen)
+                    batch_gen = self._random_batch(
+                        self.replay_buffer_gen, self.batch_size - half
+                    )
+                    batch = jax.tree_util.tree_map(
+                        lambda a, b: jnp.concatenate(
+                            [jnp.asarray(a), jnp.asarray(b)], axis=0
+                        ),
+                        dict(batch), dict(batch_gen),
+                    )
+                    last_metrics = self.trainer.train(batch)
                 else:
                     batch = self._random_batch(self.replay_buffer, self.batch_size)
                     last_metrics = self.trainer.train(batch)

@@ -175,3 +175,47 @@ def test_video_dump(tmp_path):
         str(tmp_path / "v.mp4"), horizon=4,
     )
     assert path is not None and osp.exists(path)
+
+
+def test_dual_buffer_concat_sampling(tmp_path):
+    """50/50 real/generated batches in the non-scan loop (use_seperate_buffer
+    path, reference batch_rl_algorithm.py:131-136)."""
+    from s2p_tpu.core import BatchRLAlgorithm
+    from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset
+    from s2p_tpu.rl import CriticSLAC, IQLTrainer, TanhGaussianPolicy
+    from s2p_tpu.slac import SlacAlgorithm
+    from s2p_tpu.utils.logging import Logger
+
+    ns, hw = 4, 64
+    slac = SlacAlgorithm(
+        action_dim=ACT, num_sequences=ns, buffer_size=100, batch_size_latent=2,
+        feature_dim=16, z1_dim=4, z2_dim=8, hidden_units=(16, 16),
+        image_size=hw, use_seperate_buffer=True, seed=0,
+    )
+    slac.buffer.ingest_real(make_synthetic_rl_dataset(
+        n_episodes=1, episode_len=8, obs_dim=5, act_dim=ACT, img_hw=hw))
+    slac.buffer_gen.ingest_real(make_synthetic_rl_dataset(
+        n_episodes=1, episode_len=8, obs_dim=5, act_dim=ACT, img_hw=hw, seed=1))
+    policy = TanhGaussianPolicy(hidden_sizes=(16,), action_dim=ACT)
+    tr = IQLTrainer(
+        policy=policy, critic=CriticSLAC(hidden_sizes=(16,)),
+        obs_dim=4 + 8, policy_input_dim=slac.feature_action_dim,
+        action_dim=ACT, slac_algo=slac, freeze_slac=True,
+    )
+    env = StubEnv(action_dim=ACT, max_episode_steps=4, image_shape=(hw, hw, 3))
+    agent = PolicyAgent(policy, tr.policy_state.params, deterministic=True)
+    log = Logger()
+    log.set_log_dir(str(tmp_path / "run"))
+    log.set_print_tabular(False)
+    algo = BatchRLAlgorithm(
+        trainer=tr, exploration_env=env, evaluation_env=env,
+        exploration_data_collector=MdpPathCollector(env, agent, slac_algo=slac),
+        evaluation_data_collector=MdpPathCollector(env, agent, slac_algo=slac),
+        replay_buffer=slac.buffer, replay_buffer_gen=slac.buffer_gen,
+        batch_size=8, max_path_length=4, num_epochs=1,
+        num_eval_steps_per_epoch=4, num_expl_steps_per_train_loop=1,
+        num_trains_per_train_loop=2, start_epoch=0,
+        slac_representation=True, logger=log,
+    )
+    algo.train()
+    assert tr._n_train_steps_total == 2
