@@ -83,7 +83,11 @@ class SlacReplayBuffer:
         # offline ingestion grows the pool exactly; online appends need slack
         self.frame_capacity = int(frame_capacity or 0)
 
+        # frame pool grows by amortized doubling (_n_frames tracks the live
+        # prefix) — a per-append concatenate would be quadratic in stream
+        # length
         self._frames = np.zeros((0, *self.frame_shape), np.uint8)
+        self._n_frames = 0
         self._windows = np.zeros((self.capacity, self.num_sequences + 1), np.int64)
         self._actions = np.zeros((self.capacity, self.num_sequences, action_dim), np.float32)
         self._rewards = np.zeros((self.capacity, self.num_sequences, 1), np.float32)
@@ -117,8 +121,15 @@ class SlacReplayBuffer:
         assert frames.shape[1:] == self.frame_shape, (
             f"frame shape {frames.shape[1:]} != {self.frame_shape}"
         )
-        base = len(self._frames)
-        self._frames = np.concatenate([self._frames, frames], axis=0)
+        base = self._n_frames
+        need = base + len(frames)
+        if need > len(self._frames):
+            new_cap = max(need, 2 * len(self._frames), 64)
+            grown = np.zeros((new_cap, *self.frame_shape), np.uint8)
+            grown[:base] = self._frames[:base]
+            self._frames = grown
+        self._frames[base:need] = frames
+        self._n_frames = need
         self._device_cache = None
         return base
 
@@ -306,7 +317,7 @@ class SlacReplayBuffer:
         if self._device_cache is None:
             assert self._n > 0, "empty buffer"
             self._device_cache = dict(
-                frames=jnp.asarray(self._frames),
+                frames=jnp.asarray(self._frames[: self._n_frames]),
                 windows=jnp.asarray(self._windows[: self._n]),
                 actions=jnp.asarray(self._actions[: self._n]),
                 rewards=jnp.asarray(self._rewards[: self._n]),
