@@ -451,6 +451,24 @@ class SimpleReplayBuffer:
             next_observations=next_obs,
         )
 
+    def device_state(self) -> Dict[str, jax.Array]:
+        """Live prefix as a device pytree for scanned state-RL training
+        (images stay uint8; flat obs float32). Rebuilt per call — callers
+        cache across a training loop, not per step."""
+        assert self._size > 0, "empty buffer"
+        assert not (self.image_buffer and self.memory_efficient), (
+            "memory-efficient image mode reconstructs next_obs at sample "
+            "time; use the SLAC sequence buffer for device-resident images"
+        )
+        return dict(
+            observations=jnp.asarray(self._obs[: self._size]),
+            actions=jnp.asarray(self._actions[: self._size]),
+            rewards=jnp.asarray(self._rewards[: self._size]),
+            terminals=jnp.asarray(self._terminals[: self._size]),
+            next_observations=jnp.asarray(self._next_obs[: self._size]),
+            n=jnp.asarray(self._size, jnp.int32),
+        )
+
     def __len__(self) -> int:
         return self._size
 

@@ -243,12 +243,53 @@ class IQLTrainer:
         last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return carry, last_metrics
 
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def _train_scan_state(self, policy_state, critic_state, target_q,
+                          num_steps, batch_size, buf_state, step0, key):
+        """State-RL scanned loop: flat transition batches sampled on device
+        from a SimpleReplayBuffer state."""
+        from s2p_tpu.rl.scan_utils import make_flat_sampler
+
+        sample = make_flat_sampler(buf_state, batch_size)
+
+        def body(carry, inp):
+            policy_state, critic_state, target_q = carry
+            i, key = inp
+            batch = sample(key)
+            policy_state, critic_state, target_q, metrics = self._step_body(
+                policy_state, critic_state, target_q, batch, step0 + i, False,
+            )
+            return (policy_state, critic_state, target_q), metrics
+
+        keys = jax.random.split(key, num_steps)
+        steps = jnp.arange(num_steps, dtype=jnp.uint32)
+        carry, metrics = jax.lax.scan(
+            body, (policy_state, critic_state, target_q), (steps, keys)
+        )
+        return carry, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
     def train_many(self, num_steps: int, batch_size: int,
                    buffer=None, buffer_gen=None) -> Dict[str, float]:
-        """Run ``num_steps`` updates in one device program (SLAC path only;
-        requires device-resident SlacReplayBuffers). ``buffer_gen`` enables
-        the 50/50 real/generated sampling rule."""
-        assert self.slac_algo is not None, "train_many requires the SLAC path"
+        """Run ``num_steps`` updates in one device program. SLAC path:
+        window sampling (+ optional 50/50 generated buffer, in-scan latent
+        updates). State path (no slac_algo): flat sampling from a
+        SimpleReplayBuffer ``device_state()``."""
+        if self.slac_algo is None:
+            assert buffer is not None and buffer_gen is None
+            self._rng, key = jax.random.split(self._rng)
+            carry, metrics = self._train_scan_state(
+                self.policy_state, self.critic_state, self.target_q,
+                num_steps, batch_size, buffer.device_state(),
+                jnp.uint32(self._n_train_steps_total), key,
+            )
+            self.policy_state, self.critic_state, self.target_q = carry
+            self._n_train_steps_total += num_steps
+            if self._need_stats:
+                self._need_stats = False
+                self.eval_statistics = {
+                    k: float(v) for k, v in jax.device_get(metrics).items()
+                }
+            return metrics
         buf = buffer or self.slac_algo.buffer
         self._rng, key = jax.random.split(self._rng)
         joint_latent = not self.freeze_slac and self.slac_update_period == 1

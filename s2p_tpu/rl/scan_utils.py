@@ -45,3 +45,18 @@ def make_window_sampler(
                     terminals=done[:, -1])
 
     return sample
+
+
+def make_flat_sampler(buf_state: Dict[str, jax.Array], batch_size: int):
+    """sample(key) → flat transition batch from a SimpleReplayBuffer
+    ``device_state()`` (the state-RL scanned-training path)."""
+
+    def sample(key: jax.Array) -> Dict[str, jax.Array]:
+        idx = jax.random.randint(key, (batch_size,), 0, buf_state["n"])
+        return {
+            k: buf_state[k][idx]
+            for k in ("observations", "actions", "rewards", "terminals",
+                      "next_observations")
+        }
+
+    return sample

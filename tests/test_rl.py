@@ -326,3 +326,26 @@ def test_cql_train_many_and_dual_buffer():
     assert np.isfinite(host["critic_loss"]) and np.isfinite(host["policy_loss"])
     assert "loss_kld" in host
     assert tr._n_train_steps_total == 3
+
+
+def test_iql_train_many_state_rl():
+    """State-RL scanned loop over a device-resident flat buffer."""
+    from s2p_tpu.data.env_replay_buffer import EnvReplayBuffer
+    from s2p_tpu.envs import StubEnv
+
+    env = StubEnv(obs_dim=OBS, action_dim=ACT)
+    buf = EnvReplayBuffer(200, env)
+    rs = np.random.RandomState(0)
+    for _ in range(50):
+        buf.add_sample(rs.randn(OBS), np.tanh(rs.randn(ACT)), rs.rand(), 0.0,
+                       rs.randn(OBS))
+    tr = _iql()
+    first = None
+    for _ in range(4):
+        m = tr.train_many(num_steps=10, batch_size=8, buffer=buf)
+        host = jax.device_get(m)
+        if first is None:
+            first = host
+    assert np.isfinite(host["critic_loss"])
+    assert host["qf1_loss"] < first["qf1_loss"]
+    assert tr._n_train_steps_total == 40
