@@ -5,23 +5,23 @@ images autoregressively with the S2P generator (simple_test.py seq_len
 rollout, README.md:27-34); here the full-size generator (ngf=64, 4 up
 levels, 64px) runs a jitted lax.scan rollout in bfloat16 on one chip.
 
-vs_baseline: the reference renders on an RTX A6000; no published number
-exists (BASELINE.md), so the A6000 estimate below is a measured-order
-estimate of a SPADE-class generator at batch 16 (~230 fps). vs_baseline > 1
-means faster than that estimate.
+vs_baseline: the reference never published a number and its A6000 is not in
+this environment, so the denominator is MEASURED here: the same-topology
+PyTorch twin (tests/torch_twin.py) at the reference's batchSize=16
+(README.md:59), fp32, on this machine's host CPU. The JSON labels the
+denominator explicitly; if torch is unavailable, vs_baseline is null.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
-
-A6000_FRAMES_PER_SEC_EST = 230.0
 
 BATCH = 256  # dataset-augmentation generation batches widely (50k transitions)
 SEQ_LEN = 8
@@ -29,6 +29,35 @@ IMAGE_SIZE = 64
 STATE_DIM = 17
 WARMUP_ITERS = 2
 TIMED_ITERS = 5
+
+# reference GAN training/inference config: batchSize=16 (README.md:59)
+TORCH_BATCH = 16
+TORCH_WARMUP = 1
+TORCH_TIMED = 3
+
+
+def bench_torch_twin() -> float | None:
+    """Measured denominator: the same-topology torch generator, fp32,
+    batch 16, one autoregressive frame per forward — on the hardware this
+    environment actually has (host CPU; no CUDA device present)."""
+    try:
+        import torch
+
+        sys.path.insert(0, "tests")
+        from torch_twin import S2PGeneratorTorch
+    except Exception:
+        return None
+    twin = S2PGeneratorTorch(STATE_DIM, image_size=IMAGE_SIZE, ngf=64).eval()
+    s = torch.randn(TORCH_BATCH, STATE_DIM)
+    img = torch.rand(TORCH_BATCH, 3, IMAGE_SIZE, IMAGE_SIZE) * 2 - 1
+    with torch.no_grad():
+        for _ in range(TORCH_WARMUP):
+            img = twin(s, img)
+        t0 = time.perf_counter()
+        for _ in range(TORCH_TIMED):
+            img = twin(s, img)  # autoregressive: output feeds the next step
+        dt = time.perf_counter() - t0
+    return TORCH_TIMED * TORCH_BATCH / dt
 
 
 def main() -> None:
@@ -68,13 +97,30 @@ def main() -> None:
 
     frames = TIMED_ITERS * SEQ_LEN * BATCH
     fps = frames / dt
+
+    torch_fps = bench_torch_twin()
     print(json.dumps({
         "metric": "cheetah_64px_generated_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / A6000_FRAMES_PER_SEC_EST, 3),
+        "vs_baseline": (
+            round(fps / torch_fps, 3) if torch_fps else None
+        ),
+        "precision": "bf16 params/activations, f32 accumulation",
+        "baseline": (
+            {
+                "name": "torch_twin_fp32_batch16_host_cpu",
+                "note": "same-topology PyTorch generator measured on this "
+                        "machine's CPU (no A6000 available; reference "
+                        "published no number)",
+                "frames_per_sec": round(torch_fps, 2),
+            }
+            if torch_fps else None
+        ),
     }))
 
 
 if __name__ == "__main__":
     main()
+
+

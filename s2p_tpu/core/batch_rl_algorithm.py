@@ -86,9 +86,9 @@ class BatchRLAlgorithm:
         self.scan_training = (
             scan_training
             and hasattr(trainer, "train_many")
-            and hasattr(replay_buffer, "device_state")
+            and getattr(replay_buffer, "scannable", False)
             and (replay_buffer_gen is None
-                 or hasattr(replay_buffer_gen, "device_state"))
+                 or getattr(replay_buffer_gen, "scannable", False))
         )
         self.timer = PhaseTimer()
         self.epoch = start_epoch
@@ -99,7 +99,10 @@ class BatchRLAlgorithm:
 
     # -- sampling dispatch --------------------------------------------------
     def _random_batch(self, buffer, batch_size: int) -> Dict[str, Any]:
-        if hasattr(buffer, "device_state"):  # SlacReplayBuffer: key-driven
+        # explicit sampling_style attribute, NOT hasattr(device_state):
+        # SimpleReplayBuffer also exposes device_state() for the scanned
+        # state-RL path but samples with a numpy RandomState
+        if getattr(buffer, "sampling_style", "rng") == "key":
             self._sample_key, sub = jax.random.split(self._sample_key)
             return buffer.random_batch(sub, batch_size)
         return buffer.random_batch(batch_size, rng=self._sample_rng)

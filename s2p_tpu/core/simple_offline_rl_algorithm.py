@@ -38,7 +38,7 @@ class SimpleOfflineRlAlgorithm:
         self._key = jax.random.PRNGKey(seed)
 
     def _random_batch(self):
-        if hasattr(self.replay_buffer, "device_state"):
+        if getattr(self.replay_buffer, "sampling_style", "rng") == "key":
             self._key, sub = jax.random.split(self._key)
             return self.replay_buffer.random_batch(sub, self.batch_size)
         return self.replay_buffer.random_batch(self.batch_size, rng=self._rng)

@@ -68,6 +68,17 @@ def sample_window_batch(
 class SlacReplayBuffer:
     """Episode-aware sequence replay over an indexed frame pool."""
 
+    # random_batch(key, batch_size): on-device, jax-PRNG-driven sampling.
+    # The algorithm loops dispatch on this attribute, NOT on the presence
+    # of device_state() (which SimpleReplayBuffer also has, for the scanned
+    # state-RL path).
+    sampling_style = "key"
+
+    @property
+    def scannable(self) -> bool:
+        """device_state() is available for in-scan sampling."""
+        return True
+
     def __init__(
         self,
         capacity: int,
@@ -374,6 +385,15 @@ class SimpleReplayBuffer:
     """Flat transition buffer with optional uint8 image obs and
     memory-efficient 3-frame-stack next_obs reconstruction
     (reference: rlkit/data_management/simple_replay_buffer.py:9-143)."""
+
+    # random_batch(batch_size, rng=...): host-side numpy sampling.
+    sampling_style = "rng"
+
+    @property
+    def scannable(self) -> bool:
+        """device_state() works (memory-efficient image mode reconstructs
+        next_obs at sample time and cannot be folded into a scan)."""
+        return not (self.image_buffer and self.memory_efficient)
 
     def __init__(
         self,

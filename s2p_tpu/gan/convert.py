@@ -20,7 +20,8 @@ torch module names, and layouts are inferred from leaf name + rank:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Set
+import difflib
+from typing import Any, Dict, List, Mapping, Sequence, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -134,6 +135,157 @@ def params_to_state_dict(
     return out
 
 
+# -- SPADE-convention name mapping -------------------------------------------
+#
+# The released S2P checkpoints (cheetah_30.pth / walker_30.pth,
+# /root/reference/README.md:22-25) descend from NVlabs/SPADE
+# (README.md:72-75), whose generator modules are named
+# fc / head_0 / G_middle_{0,1} / up_{0..3} / conv_img and whose SPADE norm
+# wraps its first conv in a Sequential (→ ``mlp_shared.0.weight``). Our flax
+# tree uses seed_fc / block_i / mlp_shared. These helpers turn a foreign
+# state_dict into our naming with a *table edit*, and `diff_state_dict`
+# reports exactly what doesn't line up (missing / unexpected / shape) with
+# closest-name suggestions — so day-1 conversion of the real checkpoint is
+# a mapping-table fix, not a KeyError hunt.
+
+# substring fixes applied to every key (Sequential index flattening etc.)
+SPADE_SUBSTITUTIONS: List[Tuple[str, str]] = [
+    (".mlp_shared.0.", ".mlp_shared."),
+]
+
+
+def spade_block_name_map(n_blocks: int) -> Dict[str, str]:
+    """Map SPADE's block sequence onto ``block_0..block_{n-1}`` in order.
+
+    SPADE's generator walks fc → head_0 → G_middle_0 → G_middle_1 →
+    up_0..up_k → conv_img; ours walks seed_fc → block_0..block_n →
+    conv_img. The real checkpoint's state-dict is the ground truth for
+    topology (SURVEY §7 hard part #1) — this map is the starting point to
+    edit once it exists, with ``diff_state_dict`` showing the residual."""
+    spade_blocks = ["head_0", "G_middle_0", "G_middle_1"] + [
+        f"up_{k}" for k in range(max(0, n_blocks - 3))
+    ]
+    m = {"fc": "seed_fc", "conv_img": "conv_img"}
+    for i, name in enumerate(spade_blocks[:n_blocks]):
+        m[name] = f"block_{i}"
+    return m
+
+
+def remap_state_dict(
+    sd: Mapping[str, Any],
+    name_map: Mapping[str, str],
+    substitutions: Sequence[Tuple[str, str]] = tuple(SPADE_SUBSTITUTIONS),
+) -> Dict[str, Any]:
+    """Rename torch keys: longest-prefix module rename via ``name_map``
+    (a value of "" drops the key, e.g. buffers), then substring
+    ``substitutions``. Module prefixes match at '.' boundaries only."""
+    rules = sorted(name_map.items(), key=lambda kv: -len(kv[0]))
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        nk = k
+        for src, dst in rules:
+            if nk == src or nk.startswith(src + "."):
+                if dst == "":
+                    nk = None
+                else:
+                    nk = dst + nk[len(src):]
+                break
+        if nk is None:
+            continue
+        for old, new in substitutions:
+            nk = nk.replace(old, new)
+        out[nk] = v
+    return out
+
+
+def expected_torch_keys(
+    template: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Tuple[int, ...]]:
+    """torch-convention key → expected *torch-layout* shape, derived from a
+    flax params template (the exact keys ``state_dict_to_params`` will ask
+    for)."""
+    out: Dict[str, Tuple[int, ...]] = {}
+
+    def rec(node: Mapping[str, Any], path: str) -> None:
+        for k, v in node.items():
+            sub = f"{path}.{k}" if path else k
+            if isinstance(v, Mapping):
+                rec(v, sub)
+            else:
+                torch_key = f"{path}.{_LEAF_TO_TORCH.get(k, k)}" if path else k
+                # report the flax-side shape transposed back to torch layout
+                out[torch_key] = tuple(
+                    np.shape(flax_to_torch_leaf(k, np.zeros(np.shape(v), np.uint8)))
+                )
+
+    rec(template, prefix.rstrip("."))
+    return out
+
+
+def diff_state_dict(
+    sd: Mapping[str, Any],
+    template: Mapping[str, Any],
+    transposed_modules: Set[str] = frozenset(),
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Structured report of how a torch state_dict lines up with a flax
+    params template: missing / unexpected keys, shape mismatches, and
+    name-similarity suggestions for the missing ones."""
+    expected = expected_torch_keys(template, prefix)
+    sd_shapes = {k: tuple(np.shape(_to_numpy(v))) for k, v in sd.items()}
+    missing = sorted(k for k in expected if k not in sd_shapes)
+    unexpected = sorted(k for k in sd_shapes if k not in expected)
+    mismatched = sorted(
+        (k, sd_shapes[k], expected[k])
+        for k in expected
+        if k in sd_shapes and sd_shapes[k] != expected[k]
+        # transposed-conv modules legitimately swap the first two dims
+        and not (
+            k.rsplit(".", 1)[0] in transposed_modules
+            and sd_shapes[k] == (expected[k][1], expected[k][0], *expected[k][2:])
+        )
+    )
+    suggestions = {
+        k: difflib.get_close_matches(k, unexpected, n=3, cutoff=0.5)
+        for k in missing
+    }
+    suggestions = {k: v for k, v in suggestions.items() if v}
+    return dict(
+        missing=missing,
+        unexpected=unexpected,
+        shape_mismatch=mismatched,
+        suggestions=suggestions,
+        ok=not missing and not mismatched,
+    )
+
+
+def format_diff(report: Mapping[str, Any], max_lines: int = 40) -> str:
+    lines: List[str] = []
+    if report["ok"]:
+        lines.append("state_dict matches the model template")
+        if report["unexpected"]:
+            lines.append(
+                f"  ({len(report['unexpected'])} unused checkpoint keys)"
+            )
+        return "\n".join(lines)
+    for k in report["missing"][:max_lines]:
+        hint = report["suggestions"].get(k)
+        lines.append(
+            f"  missing  {k}" + (f"   (closest: {', '.join(hint)})" if hint else "")
+        )
+    for k, got, want in report["shape_mismatch"][:max_lines]:
+        lines.append(f"  shape    {k}: checkpoint {got} vs model {want}")
+    for k in report["unexpected"][:max_lines]:
+        lines.append(f"  unused   {k}")
+    n_more = (
+        len(report["missing"]) + len(report["shape_mismatch"])
+        + len(report["unexpected"]) - 3 * max_lines
+    )
+    if n_more > 0:
+        lines.append(f"  ... and more ({n_more} lines truncated)")
+    return "\n".join(lines)
+
+
 def load_pth(path: str) -> Dict[str, Any]:
     """Load a torch ``.pth`` file to a flat numpy state_dict (torch needed
     only here, at the conversion boundary)."""
@@ -153,11 +305,17 @@ def load_pth(path: str) -> Dict[str, Any]:
     return {k: _to_numpy(v) for k, v in obj.items()}
 
 
-def load_generator_checkpoint(path: str, generator, example_state, example_image):
+def load_generator_checkpoint(path: str, generator, example_state, example_image,
+                              name_map: Mapping[str, str] | None = None):
     """Load a generator checkpoint into ``generator``'s param tree.
 
     ``.pth`` = torch state_dict (converted); ``.pkl`` = pickled flax params
-    as written by the train CLI. Returns ``{'params': ...}`` for ``apply``."""
+    as written by the train CLI. Returns ``{'params': ...}`` for ``apply``.
+
+    Foreign naming conventions: keys are tried as-is first; if they don't
+    line up, the SPADE-convention map (``spade_block_name_map``) is tried;
+    an explicit ``name_map`` overrides both. On failure the error carries
+    the full ``diff_state_dict`` report for both attempts."""
     import jax
 
     if path.endswith(".pkl"):
@@ -172,8 +330,29 @@ def load_generator_checkpoint(path: str, generator, example_state, example_image
         jax.random.PRNGKey(0), example_state, example_image
     )["params"]
     sd = load_pth(path)
-    params = state_dict_to_params(sd, template)
-    return {"params": params}
+
+    if name_map is not None:
+        candidates = [("explicit name_map", remap_state_dict(sd, name_map))]
+    else:
+        n_blocks = sum(1 for k in template if k.startswith("block_"))
+        candidates = [
+            ("as-is", dict(sd)),
+            ("SPADE name map",
+             remap_state_dict(sd, spade_block_name_map(n_blocks))),
+        ]
+    reports = []
+    for label, cand in candidates:
+        report = diff_state_dict(cand, template)
+        if report["ok"]:
+            return {"params": state_dict_to_params(cand, template)}
+        reports.append((label, report))
+    raise ValueError(
+        f"checkpoint {path!r} does not match the generator template.\n"
+        + "\n".join(
+            f"--- tried {label}:\n{format_diff(report)}"
+            for label, report in reports
+        )
+    )
 
 
 def _to_numpy(v: Any) -> np.ndarray:

@@ -364,9 +364,58 @@ class CQLTrainer:
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return carry, last
 
+    @partial(jax.jit, static_argnums=(0, 2, 3))
+    def _train_scan_state(self, carry0, num_steps, batch_size, buf_state,
+                          step0, key):
+        """State-RL scanned loop (reference cql_trainer.py:425-573 math via
+        ``_step_body(use_slac=False)``): flat transition batches sampled on
+        device from a SimpleReplayBuffer ``device_state()``."""
+        from s2p_tpu.rl.scan_utils import make_flat_sampler
+
+        sample = make_flat_sampler(buf_state, batch_size)
+
+        def body(carry, inp):
+            (policy_state, critic_state, target_q, log_alpha, alpha_opt,
+             log_alpha_prime, alpha_prime_opt) = carry
+            i, key = inp
+            k_batch, k_step = jax.random.split(key)
+            batch = sample(k_batch)
+            (policy_state, critic_state, target_q, log_alpha, alpha_opt,
+             log_alpha_prime, alpha_prime_opt, metrics) = self._step_body(
+                policy_state, critic_state, target_q, log_alpha, alpha_opt,
+                log_alpha_prime, alpha_prime_opt, batch, False, step0 + i,
+                k_step,
+            )
+            return (policy_state, critic_state, target_q, log_alpha,
+                    alpha_opt, log_alpha_prime, alpha_prime_opt), metrics
+
+        keys = jax.random.split(key, num_steps)
+        steps = jnp.arange(num_steps, dtype=jnp.uint32)
+        carry, metrics = jax.lax.scan(body, carry0, (steps, keys))
+        return carry, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
     def train_many(self, num_steps: int, batch_size: int,
                    buffer=None, buffer_gen=None) -> Dict[str, float]:
-        assert self.slac_algo is not None, "train_many requires the SLAC path"
+        if self.slac_algo is None:
+            assert buffer is not None and buffer_gen is None
+            self._rng, key = jax.random.split(self._rng)
+            carry0 = (self.policy_state, self.critic_state, self.target_q,
+                      self.log_alpha, self.alpha_opt_state,
+                      self.log_alpha_prime, self.alpha_prime_opt_state)
+            carry, metrics = self._train_scan_state(
+                carry0, num_steps, batch_size, buffer.device_state(),
+                jnp.uint32(self._n_train_steps_total), key,
+            )
+            (self.policy_state, self.critic_state, self.target_q,
+             self.log_alpha, self.alpha_opt_state, self.log_alpha_prime,
+             self.alpha_prime_opt_state) = carry
+            self._n_train_steps_total += num_steps
+            if self._need_stats:
+                self._need_stats = False
+                self.eval_statistics = {
+                    k: float(v) for k, v in jax.device_get(metrics).items()
+                }
+            return metrics
         buf = buffer or self.slac_algo.buffer
         self._rng, key = jax.random.split(self._rng)
         joint_latent = not self.freeze_slac and self.slac_update_period == 1
