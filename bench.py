@@ -62,7 +62,7 @@ def bench_torch_twin() -> float | None:
 
 def main() -> None:
     from s2p_tpu.gan import S2PGenerator
-    from s2p_tpu.gan.rollout import generate_rollout
+    from s2p_tpu.gan.fast_inference import generate_rollout_fast as generate_rollout
 
     gen = S2PGenerator(image_size=IMAGE_SIZE, ngf=64)
     key = jax.random.PRNGKey(0)
@@ -107,6 +107,9 @@ def main() -> None:
             round(fps / torch_fps, 3) if torch_fps else None
         ),
         "precision": "bf16 params/activations, f32 accumulation",
+        "inference_path": "fast (constant-state-map shortcut, "
+                          "gan/fast_inference.py; parity-tested vs the "
+                          "flax apply)",
         "baseline": (
             {
                 "name": "torch_twin_fp32_batch16_host_cpu",

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--init_random", action="store_true",
                    help="skip checkpoint loading (smoke runs)")
+    p.add_argument("--fast_inference", action="store_true",
+                   help="constant-state-map modulation shortcut "
+                        "(gan/fast_inference.py): same params, faster on "
+                        "TPU, pixels equal up to float re-association")
     return p
 
 
@@ -104,7 +108,12 @@ def main(argv: Optional[list] = None) -> str:
         )
         variables = load_generator_checkpoint(ckpt, gen, roll_states[0], init_img)
 
-    frames = generate_rollout(gen, variables, init_img, roll_states)
+    if args.fast_inference:
+        from s2p_tpu.gan.fast_inference import generate_rollout_fast
+
+        frames = generate_rollout_fast(gen, variables, init_img, roll_states)
+    else:
+        frames = generate_rollout(gen, variables, init_img, roll_states)
     frames = np.asarray(jax.device_get(frames))[:, 0]  # [L, H, W, C]
     frames_u8 = ((frames + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
 

@@ -4,7 +4,20 @@ from s2p_tpu.gan.generator import (
     resolution_chain,
 )
 from s2p_tpu.gan.discriminator import MultiscaleDiscriminator, NLayerDiscriminator
-from s2p_tpu.gan.perceptual import VGG19Features, PerceptualLoss
+from s2p_tpu.gan.perceptual import (
+    LPIPSMetric,
+    PerceptualLoss,
+    VGG16Features,
+    VGG19Features,
+    load_lpips_linear,
+    load_torch_vgg16,
+    load_torch_vgg19,
+)
+from s2p_tpu.gan.inception import (
+    InceptionV3Features,
+    inception_fid_extractor,
+    load_torch_inception_v3,
+)
 from s2p_tpu.gan.losses import (
     hinge_d_loss,
     hinge_g_loss,
@@ -12,6 +25,7 @@ from s2p_tpu.gan.losses import (
     GANLossConfig,
 )
 from s2p_tpu.gan.rollout import generate_rollout
+from s2p_tpu.gan.fast_inference import fast_apply, generate_rollout_fast
 from s2p_tpu.gan.training import GANTrainer, GANOptConfig
 
 __all__ = [
@@ -21,12 +35,22 @@ __all__ = [
     "MultiscaleDiscriminator",
     "NLayerDiscriminator",
     "VGG19Features",
+    "VGG16Features",
     "PerceptualLoss",
+    "LPIPSMetric",
+    "load_lpips_linear",
+    "load_torch_vgg16",
+    "load_torch_vgg19",
+    "InceptionV3Features",
+    "inception_fid_extractor",
+    "load_torch_inception_v3",
     "hinge_d_loss",
     "hinge_g_loss",
     "feature_matching_loss",
     "GANLossConfig",
     "generate_rollout",
+    "fast_apply",
+    "generate_rollout_fast",
     "GANTrainer",
     "GANOptConfig",
 ]

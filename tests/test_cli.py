@@ -20,6 +20,7 @@ def tiny_hdf5(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_train_gan_cli_smoke(tiny_hdf5, tmp_path):
     from s2p_tpu.cli.train_gan import main
 
@@ -46,6 +47,7 @@ def test_train_gan_cli_smoke(tiny_hdf5, tmp_path):
     assert any(c.endswith(".pth") for c in ckpts)  # torch export (torch available)
 
 
+@pytest.mark.slow
 def test_simple_test_cli_from_trained_checkpoint(tiny_hdf5, tmp_path):
     """train → generate end-to-end: the .pth written by the train CLI loads
     through the torch converter and drives the rollout CLI."""
@@ -84,6 +86,7 @@ def test_simple_test_cli_from_trained_checkpoint(tiny_hdf5, tmp_path):
     assert strip.shape == (32, 48, 3)  # gen row + gt row, 3 frames of 16px
 
 
+@pytest.mark.slow
 def test_simple_test_cli_init_random(tiny_hdf5, tmp_path):
     from s2p_tpu.cli.simple_test import main as gen_main
 
@@ -98,6 +101,7 @@ def test_simple_test_cli_init_random(tiny_hdf5, tmp_path):
     assert any(f.startswith("gen_") for f in os.listdir(out_dir))
 
 
+@pytest.mark.slow
 def test_train_gan_resume(tiny_hdf5, tmp_path):
     """Orbax resume: a second invocation with --resume_dir continues from
     the saved epoch instead of restarting (SURVEY §5.4 aux subsystem)."""

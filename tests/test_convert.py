@@ -32,6 +32,7 @@ def _pair(image_size=64):
     return gen, twin, template
 
 
+@pytest.mark.slow
 def test_state_dict_covers_flax_template_exactly():
     _, twin, template = _pair()
     sd = {k: v.numpy() for k, v in twin.state_dict().items()}
@@ -43,6 +44,7 @@ def test_state_dict_covers_flax_template_exactly():
 
 
 @pytest.mark.parametrize("size", [64, 100])
+@pytest.mark.slow
 def test_generator_pixel_parity_torch_vs_jax(size):
     """Identical weights → identical pixels, both the 64px demo config and
     the 100px RL config (non-integer upsample chain uses torch's exact
@@ -64,6 +66,7 @@ def test_generator_pixel_parity_torch_vs_jax(size):
     np.testing.assert_allclose(np.asarray(out_jax), out_t, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_round_trip_params_to_state_dict():
     gen, twin, template = _pair()
     sd = params_to_state_dict(template)
@@ -74,6 +77,7 @@ def test_round_trip_params_to_state_dict():
     twin.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in sd.items()})
 
 
+@pytest.mark.slow
 def test_load_generator_checkpoint_pth(tmp_path):
     """End-to-end .pth load path (the released cheetah_30.pth flow)."""
     gen, twin, _ = _pair()
@@ -86,6 +90,7 @@ def test_load_generator_checkpoint_pth(tmp_path):
     assert out.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_load_pth_unwraps_nested_checkpoint(tmp_path):
     _, twin, template = _pair()
     p = str(tmp_path / "nested.pth")
@@ -136,6 +141,7 @@ def _spadeify(sd):
     return out
 
 
+@pytest.mark.slow
 def test_load_spade_named_checkpoint(tmp_path):
     """A SPADE-convention state_dict (fc/head_0/G_middle_k/up_k,
     mlp_shared.0) loads through the name-mapping layer and reproduces the
@@ -180,6 +186,7 @@ def test_diff_state_dict_report():
     assert "missing" in txt and "shape" in txt and "closest" in txt
 
 
+@pytest.mark.slow
 def test_load_mismatched_checkpoint_raises_with_report(tmp_path):
     gen, twin, _ = _pair()
     sd = {k: v.numpy() for k, v in twin.state_dict().items()}

@@ -10,6 +10,7 @@ from s2p_tpu.rl import CriticSLAC, IQLTrainer, TanhGaussianPolicy
 from s2p_tpu.testing import check_equal, get_exp
 from s2p_tpu.utils.logging import Logger
 from s2p_tpu.utils.seeding import set_seed
+import pytest
 
 
 def _run(tmp_path, name: str, seed: int) -> str:
@@ -38,6 +39,7 @@ def _run(tmp_path, name: str, seed: int) -> str:
     return run_dir
 
 
+@pytest.mark.slow
 def test_same_seed_reproduces_csv(tmp_path):
     a = _run(tmp_path, "a", seed=7)
     b = _run(tmp_path, "b", seed=7)
@@ -46,6 +48,7 @@ def test_same_seed_reproduces_csv(tmp_path):
     check_equal(ra, rb, keys, rel_tol=1e-6)
 
 
+@pytest.mark.slow
 def test_different_seed_diverges(tmp_path):
     a = _run(tmp_path, "a", seed=7)
     c = _run(tmp_path, "c", seed=8)

@@ -19,6 +19,7 @@ from s2p_tpu.envs import StubEnv
 from s2p_tpu.rl import CQLTrainer, CriticSLAC, IQLTrainer, TanhGaussianPolicy
 from s2p_tpu.samplers import MdpPathCollector, MdpStepCollector, PolicyAgent
 from s2p_tpu.utils.logging import Logger
+import pytest
 
 OBS, ACT = 4, 2
 
@@ -119,6 +120,7 @@ def test_scan_gate_rejects_memory_efficient_image_buffer(tmp_path):
     assert not algo.scan_training
 
 
+@pytest.mark.slow
 def test_scanned_state_rl_cql():
     """CQL train_many over a SimpleReplayBuffer device_state() (reference
     state-RL path, cql_trainer.py:425-573, folded into one lax.scan)."""
@@ -149,6 +151,7 @@ def test_scanned_state_rl_cql():
     )
 
 
+@pytest.mark.slow
 def test_scanned_state_rl_cql_through_batch_loop(tmp_path):
     """state-RL CQL with scan_training=True through the full loop — the
     exact combination that used to AssertionError (rl/cql.py train_many

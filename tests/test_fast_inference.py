@@ -1,0 +1,68 @@
+"""Fast-inference apply (constant-state-map shortcut) parity vs the flax
+generator — same params, same pixels up to float re-association."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2p_tpu.gan import S2PGenerator
+from s2p_tpu.gan.fast_inference import (
+    conv_const_map,
+    fast_apply,
+    generate_rollout_fast,
+)
+from s2p_tpu.gan.rollout import generate_rollout
+
+STATE_DIM = 17
+KW = dict(ngf=8, state_freqs=2, state_embed_dim=16, mat_hidden=8)
+
+
+def _setup(size):
+    gen = S2PGenerator(image_size=size, **KW)
+    rs = np.random.RandomState(0)
+    s = jnp.asarray(rs.randn(2, STATE_DIM).astype(np.float32))
+    img = jnp.asarray((rs.rand(2, size, size, 3).astype(np.float32) * 2) - 1)
+    variables = gen.init(jax.random.PRNGKey(0), s, img)
+    return gen, variables, s, img
+
+
+def test_conv_const_map_matches_real_conv():
+    """The dense+border shortcut equals an actual conv over the broadcast
+    constant map, including the 1-pixel border and corners."""
+    rs = np.random.RandomState(1)
+    B, H, W, S, F = 2, 7, 5, 6, 4
+    e = jnp.asarray(rs.randn(B, S).astype(np.float32))
+    k = jnp.asarray(rs.randn(3, 3, S, F).astype(np.float32))
+    const_map = jnp.broadcast_to(e[:, None, None, :], (B, H, W, S))
+    ref = jax.lax.conv_general_dilated(
+        const_map, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = conv_const_map(e, k, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("size", [64, 100])
+@pytest.mark.slow
+def test_fast_apply_matches_module(size):
+    gen, variables, s, img = _setup(size)
+    ref = gen.apply(variables, s, img)
+    out = fast_apply(gen, variables, s, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_fast_rollout_matches_scan_rollout():
+    gen, variables, s, img = _setup(64)
+    rs = np.random.RandomState(2)
+    states = jnp.asarray(rs.randn(3, 2, STATE_DIM).astype(np.float32))
+    ref = generate_rollout(gen, variables, img, states)
+    out = generate_rollout_fast(gen, variables, img, states)
+    assert out.shape == ref.shape == (3, 2, 64, 64, 3)
+    # autoregressive error compounds over steps; final frame stays close
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)

@@ -51,6 +51,7 @@ def test_positional_embedding_shape_and_values():
 
 
 @pytest.mark.parametrize("size", [64, 100])
+@pytest.mark.slow
 def test_generator_output_shape(size):
     gen, params = _gen_and_params(image_size=size, ngf=16, state_embed_dim=32,
                                   mat_hidden=32)
@@ -61,6 +62,7 @@ def test_generator_output_shape(size):
     assert jnp.all(jnp.abs(out) <= 1.0)
 
 
+@pytest.mark.slow
 def test_generator_is_deterministic():
     gen, params = _gen_and_params(ngf=16, state_embed_dim=32, mat_hidden=32)
     s = jax.random.normal(jax.random.PRNGKey(1), (2, STATE_DIM))
@@ -70,6 +72,7 @@ def test_generator_is_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_generator_modality_sensitivity():
     """Both modalities must influence the output (MAT contract,
     rebuttal.md:145-156): changing either the state or the previous image
@@ -84,6 +87,7 @@ def test_generator_modality_sensitivity():
     assert float(jnp.max(jnp.abs(base - by_image))) > 1e-4
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["sat_state", "sat_image"])
 def test_sat_ablation_modes(mode):
     """SAT single-modality ablation (rebuttal.md:170-175) runs and, for
@@ -96,6 +100,7 @@ def test_sat_ablation_modes(mode):
     assert out.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_rollout_scan_matches_python_loop():
     gen, params = _gen_and_params(ngf=8, state_embed_dim=16, mat_hidden=16)
     T, B = 3, 2
@@ -111,6 +116,7 @@ def test_rollout_scan_matches_python_loop():
         )
 
 
+@pytest.mark.slow
 def test_discriminator_shapes_and_scales():
     disc = MultiscaleDiscriminator(num_scales=2, ndf=16, n_layers=3)
     s = jnp.zeros((2, STATE_DIM))
@@ -150,6 +156,7 @@ def test_feature_matching_identical_is_zero():
     assert float(feature_matching_loss(feats, feats)) == 0.0
 
 
+@pytest.mark.slow
 def test_vgg19_feature_pyramid():
     mod = VGG19Features()
     x = jnp.zeros((1, 64, 64, 3))
@@ -214,6 +221,7 @@ def test_perceptual_loss_zero_on_identical():
     assert float(pl(x, x)) == 0.0
 
 
+@pytest.mark.slow
 def test_gan_trainer_step_improves_l1():
     """A few steps on one constant batch must reduce the reconstruction
     terms — sanity that gradients flow through both towers."""
@@ -237,6 +245,7 @@ def test_gan_trainer_step_improves_l1():
     assert np.isfinite(float(last["d_loss"]))
 
 
+@pytest.mark.slow
 def test_gan_trainer_bf16_compute():
     """Mixed precision: bf16 forwards, fp32 params/grads stay finite and
     reconstruction still improves."""

@@ -97,6 +97,7 @@ def test_policy_agent_get_action():
     assert not np.array_equal(s1, s2)
 
 
+@pytest.mark.slow
 def test_offline_iql_slac_end_to_end(tmp_path):
     """Tiny run_iql_image.sh analog: generated+real data in the SLAC buffer,
     offline epochs, eval rollouts on a stub image env, csv + snapshots
@@ -177,6 +178,7 @@ def test_video_dump(tmp_path):
     assert path is not None and osp.exists(path)
 
 
+@pytest.mark.slow
 def test_dual_buffer_concat_sampling(tmp_path):
     """50/50 real/generated batches in the non-scan loop (use_seperate_buffer
     path, reference batch_rl_algorithm.py:131-136)."""

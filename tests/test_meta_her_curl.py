@@ -24,6 +24,7 @@ from s2p_tpu.rl.encoders import (
 )
 
 
+@pytest.mark.slow
 def test_pixel_encoder_and_critic():
     enc = PixelEncoder(feature_dim=16, num_layers=2, num_filters=8)
     critic = EncoderCritic(enc, hidden_sizes=(16,))
@@ -49,6 +50,7 @@ def test_pixel_encoder_and_critic():
     assert float(jnp.abs(conv_det).sum()) == 0
 
 
+@pytest.mark.slow
 def test_policy_with_encoder():
     enc = PixelEncoder(feature_dim=16, num_layers=2, num_filters=8)
     pol = TanhGaussianPolicyWithEncoder(enc, action_dim=3, hidden_sizes=(16,))
@@ -59,6 +61,7 @@ def test_policy_with_encoder():
     assert a.shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_curl_logits_and_loss():
     enc = PixelEncoder(feature_dim=16, num_layers=2, num_filters=8)
     curl = CURL(enc)

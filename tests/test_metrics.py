@@ -57,6 +57,7 @@ def test_ssim_matches_scipy_reference():
     assert ours == pytest.approx(ref, abs=5e-3)
 
 
+@pytest.mark.slow
 def test_perceptual_metric_zero_and_positive():
     pm = PerceptualMetric(image_shape=(32, 32, 3))
     a = jnp.asarray(_imgs(5, n=2))

@@ -22,6 +22,8 @@ from s2p_tpu.samplers.extra_collectors import (
     ObsDictPathCollector,
 )
 
+import pytest
+
 
 def test_spatial_softmax_localizes_peak():
     # a single hot pixel should produce keypoints at its coordinates
@@ -33,6 +35,7 @@ def test_spatial_softmax_localizes_peak():
     np.testing.assert_allclose(y, np.linspace(-1, 1, 9)[2], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_feat_point_mlp_autoencoder_shapes():
     model = FeatPointMlp(num_feat_points=8, input_channels=3, downsample_size=8)
     x = jnp.zeros((2, 32, 32, 3))

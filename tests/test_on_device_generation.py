@@ -8,6 +8,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from s2p_tpu.data.hdf5 import (

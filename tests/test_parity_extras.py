@@ -62,6 +62,7 @@ def test_gaussian_mixture_sampling_and_mle():
     assert abs(s[0].mean()) < 2 and abs(s[1].mean() - 10) < 2
 
 
+@pytest.mark.slow
 def test_vae_policy_roundtrip_and_elbo_training():
     from s2p_tpu.rl.vae_policy import VAEPolicy, elbo_loss
 

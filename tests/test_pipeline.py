@@ -6,6 +6,8 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from s2p_tpu.data.hdf5 import (

@@ -16,6 +16,7 @@ def _gl_ok():
         pytest.skip(f"rendering unavailable: {e}")
 
 
+@pytest.mark.slow
 def test_collect_then_render_roundtrip(tmp_path, _gl_ok):
     import collect_dataset
     import image_render

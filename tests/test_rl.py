@@ -82,6 +82,7 @@ def test_critic_slac_fused_outputs_and_soft_update():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y) + 0.5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_iql_state_rl_losses_decrease_and_targets_track():
     tr = _iql(target_update_period=1, quantile=0.7, beta=0.5)
     batch = _batch()
@@ -102,6 +103,7 @@ def test_iql_state_rl_losses_decrease_and_targets_track():
     assert diff > 0  # targets moved
 
 
+@pytest.mark.slow
 def test_iql_expectile_weighting():
     """quantile=0.9 penalizes under-estimation of V more than over —
     check the vf loss asymmetry indirectly via convergence above median."""
@@ -128,6 +130,7 @@ def test_iql_update_periods_gate_param_changes():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cql_trains_and_penalty_lowers_q():
     """The conservative penalty must push dataset-action Q estimates below
     a penalty-free run's (hallmark CQL behavior)."""
@@ -143,6 +146,7 @@ def test_cql_trains_and_penalty_lowers_q():
     assert q_pen < q_free
 
 
+@pytest.mark.slow
 def test_cql_bc_warmup_gate():
     """During policy_eval_start steps the policy loss is the BC objective —
     it should push log π(dataset actions) up."""
@@ -160,6 +164,7 @@ def test_cql_bc_warmup_gate():
     assert lp > lp_first
 
 
+@pytest.mark.slow
 def test_cql_alpha_moves_with_entropy_tuning():
     tr = _cql(policy_eval_start=0, seed=0)
     batch = _batch(B=8)
@@ -169,6 +174,7 @@ def test_cql_alpha_moves_with_entropy_tuning():
     assert float(tr.log_alpha) != a0
 
 
+@pytest.mark.slow
 def test_iql_with_slac_representation():
     """Full image path: prepare_batch inside the compiled IQL step."""
     from s2p_tpu.slac import SlacAlgorithm
@@ -207,6 +213,7 @@ def test_iql_with_slac_representation():
     assert "latent_params" in snap
 
 
+@pytest.mark.slow
 def test_iql_train_many_scan():
     """Scanned multi-step training: N updates in one compiled call with
     on-device batch sampling, joint latent updates in-scan (SURVEY §7)."""
@@ -250,6 +257,7 @@ def test_iql_train_many_scan():
     assert changed and lat_changed
 
 
+@pytest.mark.slow
 def test_batch_algorithm_scan_training_path():
     from s2p_tpu.core import BatchRLAlgorithm
     from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset
@@ -296,6 +304,7 @@ def test_batch_algorithm_scan_training_path():
     assert tr._n_train_steps_total == 3
 
 
+@pytest.mark.slow
 def test_cql_train_many_and_dual_buffer():
     """CQL scanned loop + 50/50 real/generated sampling in-scan."""
     from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset

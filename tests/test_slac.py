@@ -58,6 +58,7 @@ def test_gaussian_head_softplus_std_and_torch_parity():
 
 
 @pytest.mark.parametrize("size,n_conv", [(64, 5), (100, 6)])
+@pytest.mark.slow
 def test_encoder_decoder_shapes(size, n_conv):
     """Encoder collapses HxW to 1x1 through the exact reference conv chains;
     decoder inverts them (latent.py:55-171)."""
@@ -95,6 +96,7 @@ def test_create_feature_actions_shapes_and_content():
     np.testing.assert_array_equal(np.asarray(n_fa[:, : S * F]), np.asarray(feats[:, 1:].reshape(B, -1)))
 
 
+@pytest.mark.slow
 def test_latent_elbo_losses_finite_and_trainable():
     algo = _algo(image_size=64, num_sequences=4)
     ds = make_synthetic_rl_dataset(n_episodes=2, episode_len=10, obs_dim=5,
@@ -111,6 +113,7 @@ def test_latent_elbo_losses_finite_and_trainable():
     assert total < first  # ELBO improves on a tiny fixed dataset
 
 
+@pytest.mark.slow
 def test_prepare_batch_contract():
     algo = _algo(image_size=64, num_sequences=4)
     B, S = 3, 4
@@ -127,6 +130,7 @@ def test_prepare_batch_contract():
     assert algo.feature_action_dim == fa.shape[1]
 
 
+@pytest.mark.slow
 def test_preprocess_window():
     algo = _algo(image_size=64, num_sequences=4)
     frames = np.random.RandomState(0).randint(0, 255, (4, 64, 64, 3), np.uint8)
@@ -206,6 +210,7 @@ def test_convert_latent_state_dict_roundtrip():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_pretrain_and_save_load(tmp_path):
     from s2p_tpu.slac.pretrain import pretrain_latent
 

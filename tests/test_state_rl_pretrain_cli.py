@@ -10,6 +10,7 @@ pytest.importorskip("dm_control")
 from s2p_tpu.data.hdf5 import make_synthetic_rl_dataset, save_dataset
 
 
+@pytest.mark.slow
 def test_state_rl_experiment_smoke(tmp_path):
     from s2p_tpu.cli.mujoco_finetune import build_parser, experiment, make_variant
 
@@ -30,6 +31,7 @@ def test_state_rl_experiment_smoke(tmp_path):
     assert "eval/Average Returns" in header
 
 
+@pytest.mark.slow
 def test_slac_pretrain_cli(tmp_path):
     import slac_pretrain
 

@@ -43,6 +43,7 @@ def test_soft_clamp_bounds_and_gradient():
     assert float(g) > 0.5  # mid-range keeps gradient
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_numpy_oracle():
     """Forward must equal the from-spec computation: einsum MLP + swish +
     soft-clamped logstd + residual obs mean (gaussian_ensemble.py:37-96)."""
@@ -75,6 +76,7 @@ def test_forward_shapes_and_numpy_oracle():
     np.testing.assert_allclose(np.asarray(std), np.exp(logstd), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_local_mode_residual_zero_net():
     """With zeroed output weights the 'local' mean equals the input obs."""
     model, params = _model_and_params()
