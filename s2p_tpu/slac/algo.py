@@ -114,6 +114,28 @@ class SlacAlgorithm:
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux
 
+    @partial(jax.jit, static_argnums=(0, 3, 6))
+    def _latent_scan(self, params, opt_state, batch_size, buf_state, key,
+                     num_steps):
+        """``num_steps`` ELBO updates as ONE compiled lax.scan with
+        on-device window sampling — the pretraining analog of the RL
+        train_many path (kills the per-step host dispatch the reference
+        pays at slac/trainer.py:313-318)."""
+
+        def body(carry, k):
+            params, opt_state = carry
+            params, opt_state, aux = self._latent_step(
+                params, opt_state, batch_size, buf_state, k
+            )
+            return (params, opt_state), aux
+
+        keys = jax.random.split(key, num_steps)
+        (params, opt_state), aux = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        last = jax.tree_util.tree_map(lambda m: m[-1], aux)
+        return params, opt_state, last
+
     @partial(jax.jit, static_argnums=(0,))
     def _prepare(self, params, obs, act, key):
         feature_ = self.latent.apply(params, obs, method=LatentModel.encode)
@@ -148,6 +170,18 @@ class SlacAlgorithm:
         return {
             "loss_kld": kld, "loss_image": img, "loss_reward": rew,
         }
+
+    def update_latent_many(self, num_steps: int,
+                           buffer: Optional[SlacReplayBuffer] = None):
+        """``num_steps`` ELBO steps in one device program; returns the last
+        step's losses."""
+        buf = buffer or self.buffer
+        self.params, self.opt_state, (kld, img, rew) = self._latent_scan(
+            self.params, self.opt_state, self.batch_size_latent,
+            buf.device_state(), self.rng.next("latent_update"), num_steps,
+        )
+        self.learning_steps_latent += num_steps
+        return {"loss_kld": kld, "loss_image": img, "loss_reward": rew}
 
     def prepare_batch(self, obs: jax.Array, act: jax.Array):
         """(z, next_z, action, feature_action, next_feature_action)

@@ -24,15 +24,27 @@ def pretrain_latent(
     save_dir: Optional[str] = None,
     log_every: int = 1_000,
     log_fn: Callable[[str], None] = print,
+    scan_chunk: int = 1_000,
 ) -> Dict[str, float]:
+    """``scan_chunk > 1`` folds that many ELBO steps into one compiled
+    lax.scan per host dispatch (checkpoint/log cadence snaps to chunk
+    boundaries); ``scan_chunk=1`` is the reference-style per-step loop."""
     if dataset_path is not None:
         added = algo.load_data_in_buffer(dataset_path)
         log_fn(f"buffer filled with {added} sequence slots from {dataset_path}")
     assert len(algo.buffer) > 0, "buffer is empty"
     t0 = time.time()
     losses: Dict[str, float] = {}
-    for i in range(1, num_steps + 1):
-        losses = algo.update_latent()
+    chunk = max(1, min(scan_chunk, save_every if save_dir else scan_chunk,
+                       log_every or scan_chunk))
+    i = 0
+    while i < num_steps:
+        n = min(chunk, num_steps - i)
+        if n == 1:
+            losses = algo.update_latent()
+        else:
+            losses = algo.update_latent_many(n)
+        i += n
         if log_every and i % log_every == 0:
             host = {k: float(v) for k, v in jax.device_get(losses).items()}
             rate = i / (time.time() - t0)

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_num", type=int, default=None)
     p.add_argument("--log_every", type=int, default=1_000)
+    p.add_argument("--scan_chunk", type=int, default=1_000,
+                   help="ELBO steps folded into one compiled lax.scan per "
+                        "host dispatch (1 = reference-style per-step loop)")
     return p
 
 
@@ -64,6 +67,7 @@ def main(argv=None) -> str:
     pretrain_latent(
         algo, num_steps=args.num_steps, save_every=args.save_every,
         save_dir=args.save_dir, log_every=args.log_every,
+        scan_chunk=args.scan_chunk,
     )
     print(f"saved latent checkpoint to {args.save_dir}/latent.pkl")
     return args.save_dir
