@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile the whole inner training loop into one "
                         "lax.scan with on-device batch sampling (TPU fast "
                         "path; single-buffer configs only)")
+    p.add_argument("--eval_period", type=int, default=1,
+                   help="collect eval rollouts every N epochs (1 = every "
+                        "epoch, the reference cadence; >1 trades eval-curve "
+                        "density for wall-clock when env stepping is the "
+                        "bottleneck)")
     p.add_argument("--save_video_period", type=int, default=5)
     p.add_argument("--no_video", action="store_true")
     p.add_argument("--log_dir", type=str, default="./logs")
@@ -258,6 +263,7 @@ def experiment(variant) -> str:
         slac_representation=True,
         seed=variant["seed"],
         scan_training=variant.get("scan_training", False),
+        eval_period=variant.get("eval_period", 1),
     )
     algo.post_epoch_funcs.append(_sync_agents)
     if not variant["no_video"]:
@@ -336,6 +342,7 @@ def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
         num_trains_per_train_loop=variant["num_trains_per_train_loop"],
         start_epoch=variant["start_epoch"],
         seed=variant["seed"],
+        eval_period=variant.get("eval_period", 1),
     )
     algo.post_epoch_funcs.append(_sync)
     _sync(algo, algo.epoch)

@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=None,
                    help="hard cap on total grad steps (smoke runs)")
     p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--scan_chunk", type=int, default=1,
+                   help=">1 stages the whole dataset on device and folds "
+                        "that many D+G updates into one compiled lax.scan "
+                        "per host dispatch (uniform in-scan sampling; "
+                        "1 = reference-style per-batch epoch shuffle)")
     p.add_argument("--eval_interval", type=int, default=1,
                    help="evaluate PSNR/SSIM (and FID when enough samples) "
                         "every N epochs; 0 disables")
@@ -188,18 +193,57 @@ def main(argv: Optional[list] = None) -> str:
     step = 0
     last_eval = None
     t_start = time.time()
+
+    device_data = None
+    if args.scan_chunk > 1:
+        import jax.numpy as jnp
+
+        # stage the full dataset on device once (uint8 frames: 1 B/px)
+        device_data = dict(
+            prev_image=jnp.asarray(ds.prev_images),
+            state=jnp.asarray(ds.states),
+            target_image=jnp.asarray(ds.target_images),
+        )
+        logger.log(f"scan_chunk={args.scan_chunk}: dataset staged on device "
+                   f"({sum(x.nbytes for x in device_data.values()) / 1e9:.2f} GB)")
+
     for epoch in range(start_epoch, args.niter + 1):
-        for batch in ds.batches(args.batchSize, rng):
-            metrics = trainer.train_step(shard_batch(mesh, batch))
-            step += 1
-            if step % args.log_interval == 0:
+        if device_data is not None:
+            # one epoch = len(ds)//batchSize updates, run in scanned chunks
+            steps_per_epoch = max(len(ds) // args.batchSize, 1)
+            if args.max_steps:
+                steps_per_epoch = min(steps_per_epoch, args.max_steps - step)
+            done_in_epoch = 0
+            while done_in_epoch < steps_per_epoch:
+                chunk = min(args.scan_chunk, steps_per_epoch - done_in_epoch)
+                key = jax.random.PRNGKey(
+                    (args.seed << 20) + epoch * 4096 + done_in_epoch
+                )
+                metrics = trainer.train_many(
+                    device_data, key, chunk, args.batchSize
+                )
+                step += chunk
+                done_in_epoch += chunk
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 logger.log(
-                    f"epoch {epoch} step {step}: " +
+                    f"epoch {epoch} step {step} "
+                    f"({step / max(time.time() - t_start, 1e-9):.1f} it/s "
+                    "cum): " +
                     " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                 )
-            if args.max_steps and step >= args.max_steps:
-                break
+        else:
+            for batch in ds.batches(args.batchSize, rng):
+                metrics = trainer.train_step(shard_batch(mesh, batch))
+                step += 1
+                if step % args.log_interval == 0:
+                    m = {k: float(v)
+                         for k, v in jax.device_get(metrics).items()}
+                    logger.log(
+                        f"epoch {epoch} step {step}: " +
+                        " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                    )
+                if args.max_steps and step >= args.max_steps:
+                    break
         m = {k: float(v) for k, v in jax.device_get(metrics).items()}
         logger.record_tabular("epoch", epoch)
         logger.record_tabular("step", step)

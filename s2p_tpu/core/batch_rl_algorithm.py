@@ -59,6 +59,7 @@ class BatchRLAlgorithm:
         snapshot_gap: int = 10,
         seed: int = 0,
         scan_training: bool = False,
+        eval_period: int = 1,
     ):
         self.trainer = trainer
         self.expl_env = exploration_env
@@ -90,6 +91,13 @@ class BatchRLAlgorithm:
             and (replay_buffer_gen is None
                  or getattr(replay_buffer_gen, "scannable", False))
         )
+        # eval rollouts are host↔device per step (MuJoCo on host, policy on
+        # device) — through a remote runtime they dominate wall-clock, so
+        # eval_period>1 collects eval paths only every N epochs (stats carry
+        # forward between evals to keep the frozen csv key-set; reference
+        # behavior = 1, rl_algorithm.py:95-169)
+        self.eval_period = max(1, eval_period)
+        self._last_eval_stats: Dict[str, Any] = {}
         self.timer = PhaseTimer()
         self.epoch = start_epoch
         self.offline_rl = start_epoch < 0
@@ -126,10 +134,12 @@ class BatchRLAlgorithm:
                 self.replay_buffer.add_paths(init_paths)
             self.expl_data_collector.end_epoch(-1)
 
-        self.eval_data_collector.collect_new_paths(
-            self.max_path_length, self.num_eval_steps_per_epoch,
-            discard_incomplete_paths=True,
-        )
+        if (self.epoch % self.eval_period == 0
+                or self.epoch == self.num_epochs - 1):
+            self.eval_data_collector.collect_new_paths(
+                self.max_path_length, self.num_eval_steps_per_epoch,
+                discard_incomplete_paths=True,
+            )
         self.timer.stamp("evaluation sampling")
 
         for _ in range(self.num_train_loops_per_epoch):
@@ -222,7 +232,14 @@ class BatchRLAlgorithm:
             if log.log_dir is not None:
                 with open(osp.join(log.log_dir, "rewards_list.pkl"), "wb") as f:
                     pickle.dump(self._rewards_log_list, f)
-        log.record_dict(get_generic_path_information(eval_paths), prefix="eval/")
+        eval_stats = get_generic_path_information(eval_paths)
+        if eval_paths:
+            self._last_eval_stats = eval_stats
+        else:
+            # eval_period > 1: repeat the last measured stats so the frozen
+            # csv key-set stays satisfied on non-eval epochs
+            eval_stats = self._last_eval_stats
+        log.record_dict(eval_stats, prefix="eval/")
 
         self.timer.stamp("logging")
         log.record_dict(self.timer.end_epoch())

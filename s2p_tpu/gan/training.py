@@ -108,13 +108,13 @@ class GANTrainer:
                    compute_dtype)
 
     # -- compiled step ----------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _step(
+    def _update(
         self,
         g_state: TrainState,
         d_state: TrainState,
         batch: Dict[str, jax.Array],
     ) -> Tuple[TrainState, TrainState, Dict[str, jax.Array]]:
+        """One D+G update (traceable body shared by _step and _many)."""
         dt = self.compute_dtype
         prev = _to_signed(batch["prev_image"]).astype(dt)
         real = _to_signed(batch["target_image"]).astype(dt)
@@ -171,9 +171,67 @@ class GANTrainer:
         metrics = dict(d_loss=d_loss, g_loss=g_loss, **aux)
         return g_state, d_state, metrics
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _step(
+        self,
+        g_state: TrainState,
+        d_state: TrainState,
+        batch: Dict[str, jax.Array],
+    ) -> Tuple[TrainState, TrainState, Dict[str, jax.Array]]:
+        return self._update(g_state, d_state, batch)
+
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         self.g_state, self.d_state, metrics = self._step(
             self.g_state, self.d_state, batch
+        )
+        return metrics
+
+    # -- scanned multi-step path -------------------------------------------
+    # The per-step path pays one host→device dispatch per update — through a
+    # remote/tunneled runtime that dominates wall-clock (round-1 measured
+    # ~55x for the analogous RL loops). Here the FULL dataset lives on
+    # device (uint8 frames; 50k 100px pairs ≈ 3 GB) and K D+G updates with
+    # in-scan uniform batch sampling compile into ONE lax.scan dispatch.
+    # Sampling is with-replacement uniform (identical in expectation to the
+    # reference's epoch shuffle over a 50k-pair epoch).
+    @partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=(1, 2))
+    def _many(
+        self,
+        g_state: TrainState,
+        d_state: TrainState,
+        data: Dict[str, jax.Array],
+        key: jax.Array,
+        num_steps: int,
+        batch_size: int,
+    ) -> Tuple[TrainState, TrainState, Dict[str, jax.Array]]:
+        n = data["state"].shape[0]
+
+        def body(carry, k):
+            g, d = carry
+            idx = jax.random.randint(k, (batch_size,), 0, n)
+            batch = {name: jnp.take(arr, idx, axis=0)
+                     for name, arr in data.items()}
+            g, d, m = self._update(g, d, batch)
+            return (g, d), m
+
+        keys = jax.random.split(key, num_steps)
+        (g_state, d_state), ms = jax.lax.scan(body, (g_state, d_state), keys)
+        # mean over the chunk (host reads one scalar per metric per chunk)
+        metrics = jax.tree_util.tree_map(lambda x: x.mean(), ms)
+        return g_state, d_state, metrics
+
+    def train_many(
+        self,
+        data: Dict[str, Any],
+        key: jax.Array,
+        num_steps: int,
+        batch_size: int,
+    ) -> Dict[str, jax.Array]:
+        """Run ``num_steps`` D+G updates in one compiled call, sampling
+        batches on-device from ``data`` (device-resident uint8 arrays with
+        the same keys as ``train_step`` batches)."""
+        self.g_state, self.d_state, metrics = self._many(
+            self.g_state, self.d_state, data, key, num_steps, batch_size
         )
         return metrics
 

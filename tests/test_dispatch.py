@@ -177,3 +177,44 @@ def test_scanned_state_rl_cql_through_batch_loop(tmp_path):
     assert algo.scan_training
     algo.train()
     assert tr._n_train_steps_total == 6
+
+
+def test_eval_period_skips_and_carries_stats(tmp_path):
+    """eval_period=3 collects eval paths only on epochs where
+    epoch % 3 == 0 (plus the final epoch) and repeats the last measured
+    eval stats on skipped epochs so the frozen csv key-set stays intact."""
+    import csv as _csv
+    import os.path as osp
+
+    env = StubEnv(obs_dim=OBS, action_dim=ACT, max_episode_steps=5)
+    buf = _fill(EnvReplayBuffer(200, env))
+    tr = _iql()
+    agent = PolicyAgent(tr.policy_module, tr.policy_state.params,
+                        deterministic=True)
+
+    class CountingCollector(MdpPathCollector):
+        calls = 0
+
+        def collect_new_paths(self, *a, **kw):
+            CountingCollector.calls += 1
+            return super().collect_new_paths(*a, **kw)
+
+    algo = BatchRLAlgorithm(
+        trainer=tr, exploration_env=env, evaluation_env=env,
+        exploration_data_collector=MdpPathCollector(env, agent),
+        evaluation_data_collector=CountingCollector(env, agent),
+        replay_buffer=buf, batch_size=8, max_path_length=5, num_epochs=1,
+        num_eval_steps_per_epoch=5, num_expl_steps_per_train_loop=1,
+        num_trains_per_train_loop=1, start_epoch=-6,
+        logger=_logger(tmp_path), eval_period=3,
+    )
+    algo.train()
+    # epochs -6..0: eval at -6, -3, 0 (and 0 is also the final epoch)
+    assert CountingCollector.calls == 3
+    with open(osp.join(str(tmp_path / "run"), "progress.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 7
+    returns = [r["eval/Average Returns"] for r in rows]
+    assert all(v not in ("", None) for v in returns)
+    # skipped epochs repeat the previous measured value
+    assert returns[1] == returns[0] and returns[2] == returns[0]

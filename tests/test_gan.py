@@ -287,3 +287,37 @@ def test_pair_dataset_multi_env_concat(tmp_path):
     ds = S2PPairDataset.from_hdf5(f"{pa},{pb}")
     assert ds.state_dim == 24  # padded to the widest env
     assert len(ds) == 16  # tp1 pairing keeps all 8 rows per episode
+
+
+@pytest.mark.slow
+def test_gan_trainer_scanned_many_matches_per_step_scale():
+    """train_many folds K D+G updates into one lax.scan dispatch with
+    on-device uniform sampling; states advance by K steps and the chunk-mean
+    metrics are finite (the scanned-path analog of the RL train_many)."""
+    rs = np.random.RandomState(1)
+    data = dict(
+        prev_image=rs.randint(0, 255, (12, 64, 64, 3), dtype=np.uint8),
+        state=rs.randn(12, STATE_DIM).astype(np.float32),
+        target_image=rs.randint(0, 255, (12, 64, 64, 3), dtype=np.uint8),
+    )
+    trainer = GANTrainer.create(
+        jax.random.PRNGKey(0), state_dim=STATE_DIM, image_size=64,
+        generator_kwargs=dict(ngf=8, state_embed_dim=16, mat_hidden=16,
+                              state_freqs=2),
+        discriminator_kwargs=dict(num_scales=1, ndf=8, n_layers=2),
+        use_perceptual=False,
+    )
+    assert int(trainer.g_state.step) == 0
+    import jax.numpy as jnp
+
+    device_data = {k: jnp.asarray(v) for k, v in data.items()}
+    metrics = trainer.train_many(device_data, jax.random.PRNGKey(7),
+                                 num_steps=5, batch_size=4)
+    assert int(trainer.g_state.step) == 5
+    assert int(trainer.d_state.step) == 5
+    for v in jax.device_get(metrics).values():
+        assert np.isfinite(float(v))
+    # a second chunk keeps advancing from the carried states
+    trainer.train_many(device_data, jax.random.PRNGKey(8),
+                       num_steps=3, batch_size=4)
+    assert int(trainer.g_state.step) == 8
