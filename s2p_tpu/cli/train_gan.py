@@ -162,8 +162,17 @@ def main(argv: Optional[list] = None) -> str:
         vgg_variables=vgg_vars,
         compute_dtype=jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32,
     )
-    trainer.g_state = shard_pytree(mesh, trainer.g_state)
-    trainer.d_state = shard_pytree(mesh, trainer.d_state)
+    # Replicate params over the mesh only when it is non-trivial AND the
+    # per-step path runs: NamedSharding-annotated carries through the
+    # scanned train_many trip XLA's SPMD partitioner into a pathological
+    # compile (hours for a toy model — measured on the CPU backend, and the
+    # same combination wedged on the TPU relay). Single-device meshes need
+    # no annotation at all (params are device-resident from init), and the
+    # scanned path samples batches on-device so there is nothing to shard
+    # per-dispatch.
+    if mesh.devices.size > 1 and args.scan_chunk <= 1:
+        trainer.g_state = shard_pytree(mesh, trainer.g_state)
+        trainer.d_state = shard_pytree(mesh, trainer.d_state)
 
     os.makedirs(args.checkpoints_dir, exist_ok=True)
 
