@@ -223,8 +223,16 @@ class BatchRLAlgorithm:
         expl_paths = self.expl_data_collector.get_epoch_paths()
         log.record_dict(get_generic_path_information(expl_paths), prefix="expl/")
 
-        log.record_dict(self.eval_data_collector.get_diagnostics(), prefix="eval/")
         eval_paths = self.eval_data_collector.get_epoch_paths()
+        eval_diag = dict(self.eval_data_collector.get_diagnostics())
+        if eval_paths:
+            self._last_eval_diag = eval_diag
+        else:
+            # path-length stats exist only on epochs with fresh eval paths;
+            # backfill from the last eval so the frozen csv header stays
+            # fully populated under eval_period > 1
+            eval_diag = {**getattr(self, "_last_eval_diag", {}), **eval_diag}
+        log.record_dict(eval_diag, prefix="eval/")
         if eval_paths:
             rewards = [np.asarray(p["rewards"]).ravel() for p in eval_paths]
             if len({len(r) for r in rewards}) == 1:

@@ -218,3 +218,7 @@ def test_eval_period_skips_and_carries_stats(tmp_path):
     assert all(v not in ("", None) for v in returns)
     # skipped epochs repeat the previous measured value
     assert returns[1] == returns[0] and returns[2] == returns[0]
+    # collector path-length diagnostics backfill too (no blank columns)
+    plen = [v for k in rows[0] if "path length" in k for v in
+            (r[k] for r in rows)]
+    assert plen and all(v not in ("", None) for v in plen)
