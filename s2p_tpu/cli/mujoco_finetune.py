@@ -75,8 +75,42 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_video_period", type=int, default=5)
     p.add_argument("--no_video", action="store_true")
     p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="orbax checkpoint dir: save the FULL trainer state "
+                        "(params + optimizer states + entropy temperatures "
+                        "+ SLAC latent/opt + rng) every epoch and "
+                        "auto-resume from the latest one after a crash "
+                        "(data is re-ingested; epoch counter restored from "
+                        "the train-step count)")
     p.add_argument("--debug", action="store_true")
     return p
+
+
+def _setup_resume(variant, trainer, start_epoch):
+    """Restore the latest full-state checkpoint (if any) and return
+    (ckpt_manager, possibly-advanced start_epoch, save_hook)."""
+    d = variant.get("resume_dir")
+    if not d:
+        return None, start_epoch, None
+    import jax
+
+    from s2p_tpu.utils.checkpoint import CheckpointManager
+    from s2p_tpu.utils.logging import logger
+
+    mgr = CheckpointManager(d, max_to_keep=2)
+    latest = mgr.latest_step()
+    if latest is not None:
+        trainer.load_full_state(mgr.restore(trainer.full_state(), latest))
+        done = latest // max(variant["num_trains_per_train_loop"], 1)
+        start_epoch = start_epoch + done
+        logger.log(f"resumed from {d} at {latest} train steps "
+                   f"→ epoch {start_epoch}")
+
+    def save_hook(algo, epoch):
+        mgr.save(trainer._n_train_steps_total,
+                 jax.device_get(trainer.full_state()))
+
+    return mgr, start_epoch, save_hook
 
 
 def make_variant(args) -> dict:
@@ -246,6 +280,9 @@ def experiment(variant) -> str:
     eval_col = MdpPathCollector(eval_env, eval_agent, **slac_kw)
     expl_col = MdpPathCollector(expl_env, expl_agent, **slac_kw)
 
+    ckpt_mgr, resume_start, save_hook = _setup_resume(
+        variant, trainer, variant["start_epoch"]
+    )
     algo = BatchRLAlgorithm(
         trainer=trainer,
         exploration_env=expl_env, evaluation_env=eval_env,
@@ -259,13 +296,15 @@ def experiment(variant) -> str:
         num_eval_steps_per_epoch=num_eval_steps,
         num_expl_steps_per_train_loop=max_path_length,
         num_trains_per_train_loop=variant["num_trains_per_train_loop"],
-        start_epoch=variant["start_epoch"],
+        start_epoch=resume_start,
         slac_representation=True,
         seed=variant["seed"],
         scan_training=variant.get("scan_training", False),
         eval_period=variant.get("eval_period", 1),
     )
     algo.post_epoch_funcs.append(_sync_agents)
+    if save_hook is not None:
+        algo.post_epoch_funcs.append(save_hook)
     if not variant["no_video"]:
         algo.post_epoch_funcs.append(
             VideoSaveFunction(
@@ -277,6 +316,9 @@ def experiment(variant) -> str:
     # keep the agents acting with the latest policy even before epoch hooks
     _sync_agents(algo, algo.epoch)
     algo.train()
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+        ckpt_mgr.close()
     logger.close()
     return log_dir
 
@@ -328,6 +370,9 @@ def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
         eval_agent.set_params(algo.trainer.policy_state.params)
         expl_agent.set_params(algo.trainer.policy_state.params)
 
+    ckpt_mgr, resume_start, save_hook = _setup_resume(
+        variant, trainer, variant["start_epoch"]
+    )
     algo = BatchRLAlgorithm(
         trainer=trainer,
         exploration_env=expl_env, evaluation_env=eval_env,
@@ -340,13 +385,18 @@ def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
         num_eval_steps_per_epoch=num_eval_steps,
         num_expl_steps_per_train_loop=max_path_length,
         num_trains_per_train_loop=variant["num_trains_per_train_loop"],
-        start_epoch=variant["start_epoch"],
+        start_epoch=resume_start,
         seed=variant["seed"],
         eval_period=variant.get("eval_period", 1),
     )
     algo.post_epoch_funcs.append(_sync)
+    if save_hook is not None:
+        algo.post_epoch_funcs.append(save_hook)
     _sync(algo, algo.epoch)
     algo.train()
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+        ckpt_mgr.close()
     logger.close()
     return logger.log_dir or ""
 

@@ -487,6 +487,49 @@ class CQLTrainer:
             snap["latent_params"] = jax.device_get(self.slac_algo.params)
         return snap
 
+    # -- crash-recovery state (full optimizer + entropy-temperature state;
+    # consumed by the --resume_dir orbax checkpoints, SURVEY §5.3) ---------
+    def full_state(self) -> Dict[str, Any]:
+        s = dict(
+            policy_params=self.policy_state.params,
+            policy_opt=self.policy_state.opt_state,
+            policy_step=self.policy_state.step,
+            critic_params=self.critic_state.params,
+            critic_opt=self.critic_state.opt_state,
+            critic_step=self.critic_state.step,
+            target_q=self.target_q,
+            log_alpha=self.log_alpha,
+            alpha_opt=self.alpha_opt_state,
+            log_alpha_prime=self.log_alpha_prime,
+            alpha_prime_opt=self.alpha_prime_opt_state,
+            rng=self._rng,
+            n_train_steps=jnp.int32(self._n_train_steps_total),
+        )
+        if self.slac_algo is not None:
+            s["slac_params"] = self.slac_algo.params
+            s["slac_opt"] = self.slac_algo.opt_state
+        return s
+
+    def load_full_state(self, s: Dict[str, Any]) -> None:
+        self.policy_state = self.policy_state.replace(
+            params=s["policy_params"], opt_state=s["policy_opt"],
+            step=s["policy_step"],
+        )
+        self.critic_state = self.critic_state.replace(
+            params=s["critic_params"], opt_state=s["critic_opt"],
+            step=s["critic_step"],
+        )
+        self.target_q = s["target_q"]
+        self.log_alpha = jnp.asarray(s["log_alpha"])
+        self.alpha_opt_state = s["alpha_opt"]
+        self.log_alpha_prime = jnp.asarray(s["log_alpha_prime"])
+        self.alpha_prime_opt_state = s["alpha_prime_opt"]
+        self._rng = jnp.asarray(s["rng"])
+        self._n_train_steps_total = int(s["n_train_steps"])
+        if self.slac_algo is not None and "slac_params" in s:
+            self.slac_algo.params = s["slac_params"]
+            self.slac_algo.opt_state = s["slac_opt"]
+
     @property
     def networks(self):
         return [self.policy_module, self.critic_module]
