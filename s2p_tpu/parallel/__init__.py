@@ -3,6 +3,7 @@ from s2p_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicated,
+    model_shard_params,
     shard_batch,
     shard_pytree,
     local_device_count,
@@ -13,6 +14,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "model_shard_params",
     "shard_batch",
     "shard_pytree",
     "local_device_count",

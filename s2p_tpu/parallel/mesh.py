@@ -24,6 +24,7 @@ import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -92,3 +93,36 @@ def shard_pytree(mesh: Mesh, tree: Any, sharding: Optional[NamedSharding] = None
     """Device-put a pytree fully replicated (params/opt-state default)."""
     sharding = sharding or replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def model_shard_params(
+    mesh: Mesh, params: Any, min_features: int = 256
+) -> Any:
+    """Tensor-parallel placement over the 'model' axis.
+
+    Shards the widest layers' kernels on their OUTPUT-feature dim —
+    conv HWIO kernels on O, dense kernels on the last dim, matching
+    biases on their only dim — and replicates everything else. XLA's SPMD
+    partitioner then splits those layers' compute across the model axis
+    and inserts the all-gathers where activations are consumed by
+    replicated layers (the scaling-book recipe: annotate shardings, let
+    XLA place collectives). Only dims divisible by the axis size and
+    ≥ ``min_features`` are sharded, so the same code runs unchanged on a
+    model=1 mesh (everything replicates).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def place(x: Any) -> Any:
+        x = jnp.asarray(x) if not hasattr(x, "ndim") else x
+        shardable = (
+            n_model > 1
+            and x.ndim >= 1
+            and x.shape[-1] >= min_features
+            and x.shape[-1] % n_model == 0
+        )
+        if shardable:
+            spec = [None] * (x.ndim - 1) + [MODEL_AXIS]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, params)
