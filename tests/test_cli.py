@@ -120,3 +120,11 @@ def test_train_gan_resume(tiny_hdf5, tmp_path):
     with open(osp.join(log_dir, "debug.log")) as f:
         text = f.read()
     assert "resumed from" in text and "at epoch 1" in text
+
+
+def test_final_eval_cli_parser():
+    """final_eval: multi-path deterministic snapshot evaluation CLI."""
+    from s2p_tpu.cli.final_eval import main as fe_main
+    import inspect
+    sig = inspect.signature(fe_main)
+    assert "argv" in sig.parameters
