@@ -330,7 +330,7 @@ def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
     flat observations loaded from the HDF5 into an EnvReplayBuffer."""
     from s2p_tpu.core import BatchRLAlgorithm
     from s2p_tpu.data.env_replay_buffer import EnvReplayBuffer
-    from s2p_tpu.data.hdf5 import load_rl_dataset
+    from s2p_tpu.data.hdf5 import load_state_dataset
     from s2p_tpu.data.path_loaders import load_hdf5
     from s2p_tpu.rl import CQLTrainer, CriticSLAC, IQLTrainer, TanhGaussianPolicy
     from s2p_tpu.samplers import MdpPathCollector, PolicyAgent
@@ -340,8 +340,8 @@ def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
     obs_dim = eval_env.observation_space.shape[0]
     buf = EnvReplayBuffer(int(2e6), eval_env)
     assert variant["data_path_real"], "state RL needs --data_path_real"
-    ds = load_rl_dataset(variant["data_path_real"],
-                         variant["data_mix_num_real"])
+    ds = load_state_dataset(variant["data_path_real"],
+                            variant["data_mix_num_real"])
     n = load_hdf5(ds, buf)
     logger.log(f"state-RL buffer: {n} transitions")
 

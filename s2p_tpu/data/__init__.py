@@ -1,5 +1,6 @@
 from s2p_tpu.data.hdf5 import (
     load_rl_dataset,
+    load_state_dataset,
     load_augment_dataset,
     save_dataset,
     make_slac_window_indices,
@@ -26,6 +27,7 @@ from s2p_tpu.data.path_loaders import (
 
 __all__ = [
     "load_rl_dataset",
+    "load_state_dataset",
     "load_augment_dataset",
     "save_dataset",
     "make_slac_window_indices",

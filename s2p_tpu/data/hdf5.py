@@ -118,6 +118,22 @@ def load_rl_dataset(path: str, data_num: Optional[int] = None) -> Dict[str, np.n
     return _load(path, _RL_KEYS, _RL_OPTIONAL, data_num)
 
 
+_STATE_KEYS = (
+    "observations",
+    "actions",
+    "rewards",
+    "next_observations",
+    "timeouts",
+)
+
+
+def load_state_dataset(path: str, data_num: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """State-only dataset (collect_dataset.py output): the state-RL path
+    (iql_trainer.py:276-301 analog) needs no image keys."""
+    return _load(path, _STATE_KEYS,
+                 ("image_observations",) + _RL_OPTIONAL, data_num)
+
+
 def load_augment_dataset(
     path: str, data_num: Optional[int] = None
 ) -> Dict[str, np.ndarray]:

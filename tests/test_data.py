@@ -339,3 +339,27 @@ class TestPairDataset:
             assert b["state"].shape == (6, pd.state_dim)
             seen += 6
         assert seen == 18  # drop_last
+
+
+def test_load_state_dataset_without_images(tmp_path):
+    """collect_dataset.py output has no image keys; the state-RL loader
+    accepts it (load_rl_dataset requires image_observations)."""
+    import h5py
+    import pytest as _pytest
+
+    from s2p_tpu.data.hdf5 import load_rl_dataset, load_state_dataset
+
+    p = str(tmp_path / "state.hdf5")
+    n = 12
+    rs = np.random.RandomState(0)
+    with h5py.File(p, "w") as f:
+        f["observations"] = rs.randn(n, 4).astype(np.float32)
+        f["actions"] = rs.randn(n, 2).astype(np.float32)
+        f["rewards"] = rs.rand(n).astype(np.float32)
+        f["next_observations"] = rs.randn(n, 4).astype(np.float32)
+        f["timeouts"] = np.zeros(n, np.float32)
+        f["terminals"] = np.zeros(n, np.float32)
+    ds = load_state_dataset(p, 8)
+    assert len(ds["observations"]) == 8 and "terminals" in ds
+    with _pytest.raises(KeyError):
+        load_rl_dataset(p)
