@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "every N epochs; 0 disables")
     p.add_argument("--eval_num", type=int, default=256,
                    help="held-out pairs used for evaluation")
+    p.add_argument("--init_g", type=str, default=None,
+                   help="initialize the generator from a saved checkpoint "
+                        "(.pkl flax params or torch-layout .pth) before "
+                        "training — finetune a released/earlier checkpoint "
+                        "with fresh optimizer + discriminator")
     p.add_argument("--resume_dir", type=str, default=None,
                    help="orbax checkpoint dir: saves full train state "
                         "(G+D params/optimizers) per epoch and auto-resumes "
@@ -173,6 +178,27 @@ def main(argv: Optional[list] = None) -> str:
     if mesh.devices.size > 1 and args.scan_chunk <= 1:
         trainer.g_state = shard_pytree(mesh, trainer.g_state)
         trainer.d_state = shard_pytree(mesh, trainer.d_state)
+
+    if args.init_g:
+        import jax.numpy as jnp
+        import pickle as _pickle
+
+        from s2p_tpu.gan.convert import load_generator_checkpoint
+
+        if args.init_g.endswith(".pkl"):
+            with open(args.init_g, "rb") as f:
+                loaded = _pickle.load(f)
+            g_params = {"params": jax.tree_util.tree_map(
+                jnp.asarray, loaded["params"])}
+        else:
+            H = ds.image_shape[0]
+            g_params = load_generator_checkpoint(
+                args.init_g, trainer.generator,
+                jnp.zeros((1, ds.state_dim)),
+                jnp.zeros((1, H, H, ds.image_shape[-1])),
+            )
+        trainer.g_state = trainer.g_state.replace(params=g_params)
+        logger.log(f"generator initialized from {args.init_g}")
 
     os.makedirs(args.checkpoints_dir, exist_ok=True)
 
