@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Flagship offline IQL+SLAC at the reference's full budgets (SURVEY §6):
+# Flagship offline CQL+SLAC at the reference's full budgets (SURVEY §6):
 # 150 offline epochs x 2000 grad steps, batch 128, 100px 3-stack,
 # 50k real + 50k S2P-generated transitions, aleatoric penalty lambda=2.
 set -e

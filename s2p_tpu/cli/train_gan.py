@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_L1", type=float, default=10.0)
     p.add_argument("--lambda_feat", type=float, default=10.0)
     p.add_argument("--lambda_vgg", type=float, default=10.0)
+    p.add_argument("--r1_gamma", type=float, default=0.0,
+                   help="R1 gradient penalty on real images (StyleGAN2 "
+                        "convention; 0 disables). Counters D-dominance "
+                        "collapse (e.g. walker under reference hparams)")
+    p.add_argument("--r1_interval", type=int, default=16,
+                   help="lazy-R1: apply the penalty every k-th step, "
+                        "scaled by k (1 = every step)")
+    p.add_argument("--d_every", type=int, default=1,
+                   help="update D only every k-th step (adaptive cadence; "
+                        "1 = reference behavior)")
     p.add_argument("--no_vgg_loss", action="store_true")
     p.add_argument("--vgg_weights", type=str, default=None,
                    help="torchvision vgg19 .pth for the perceptual loss")
@@ -161,11 +171,13 @@ def main(argv: Optional[list] = None) -> str:
         opt_cfg=GANOptConfig(g_lr=args.g_lr, d_lr=args.d_lr),
         loss_cfg=GANLossConfig(
             lambda_l1=args.lambda_L1, lambda_feat=args.lambda_feat,
-            lambda_vgg=args.lambda_vgg,
+            lambda_vgg=args.lambda_vgg, r1_gamma=args.r1_gamma,
+            r1_interval=args.r1_interval,
         ),
         use_perceptual=not args.no_vgg_loss,
         vgg_variables=vgg_vars,
         compute_dtype=jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32,
+        d_every=args.d_every,
     )
     # Replicate params over the mesh only when it is non-trivial AND the
     # per-step path runs: NamedSharding-annotated carries through the
@@ -178,25 +190,23 @@ def main(argv: Optional[list] = None) -> str:
     if mesh.devices.size > 1 and args.scan_chunk <= 1:
         trainer.g_state = shard_pytree(mesh, trainer.g_state)
         trainer.d_state = shard_pytree(mesh, trainer.d_state)
+    elif mesh.devices.size > 1:
+        logger.log(
+            f"WARNING: scan_chunk={args.scan_chunk} > 1 runs the scanned "
+            f"single-device path; the {mesh.devices.size}-device mesh is "
+            "NOT used for data parallelism (use --scan_chunk 1 for DP)"
+        )
 
     if args.init_g:
         import jax.numpy as jnp
-        import pickle as _pickle
 
         from s2p_tpu.gan.convert import load_generator_checkpoint
 
-        if args.init_g.endswith(".pkl"):
-            with open(args.init_g, "rb") as f:
-                loaded = _pickle.load(f)
-            g_params = {"params": jax.tree_util.tree_map(
-                jnp.asarray, loaded["params"])}
-        else:
-            H = ds.image_shape[0]
-            g_params = load_generator_checkpoint(
-                args.init_g, trainer.generator,
-                jnp.zeros((1, ds.state_dim)),
-                jnp.zeros((1, H, H, ds.image_shape[-1])),
-            )
+        g_params = load_generator_checkpoint(
+            args.init_g, trainer.generator,
+            jnp.zeros((1, ds.state_dim)),
+            jnp.zeros((1, H, H, ds.image_shape[-1])),
+        )
         trainer.g_state = trainer.g_state.replace(params=g_params)
         logger.log(f"generator initialized from {args.init_g}")
 
@@ -251,8 +261,10 @@ def main(argv: Optional[list] = None) -> str:
             done_in_epoch = 0
             while done_in_epoch < steps_per_epoch:
                 chunk = min(args.scan_chunk, steps_per_epoch - done_in_epoch)
-                key = jax.random.PRNGKey(
-                    (args.seed << 20) + epoch * 4096 + done_in_epoch
+                # collision-free per-chunk keys regardless of epoch length
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                    done_in_epoch,
                 )
                 metrics = trainer.train_many(
                     device_data, key, chunk, args.batchSize

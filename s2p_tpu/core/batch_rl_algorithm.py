@@ -134,7 +134,11 @@ class BatchRLAlgorithm:
                 self.replay_buffer.add_paths(init_paths)
             self.expl_data_collector.end_epoch(-1)
 
-        if (self.epoch % self.eval_period == 0
+        # gate relative to start_epoch so the FIRST epoch always evals —
+        # otherwise (e.g. after --resume_dir shifts start_epoch) the first
+        # csv dump freezes the header without the eval/ columns and every
+        # later eval stat is silently dropped for the whole run
+        if ((self.epoch - self._start_epoch) % self.eval_period == 0
                 or self.epoch == self.num_epochs - 1):
             self.eval_data_collector.collect_new_paths(
                 self.max_path_length, self.num_eval_steps_per_epoch,
@@ -248,6 +252,9 @@ class BatchRLAlgorithm:
             # csv key-set stays satisfied on non-eval epochs
             eval_stats = self._last_eval_stats
         log.record_dict(eval_stats, prefix="eval/")
+        # carried-forward rows are marked stale so per-epoch aggregates over
+        # the csv can't silently over-weight repeated eval values
+        log.record_tabular("eval/is_fresh", int(bool(eval_paths)))
 
         self.timer.stamp("logging")
         log.record_dict(self.timer.end_epoch())

@@ -21,6 +21,21 @@ class GANLossConfig:
     lambda_feat: float = 10.0
     lambda_vgg: float = 10.0
     lambda_gan: float = 1.0
+    # R1 gradient penalty on real images (StyleGAN2 convention): adds
+    # (r1_gamma/2)·E[||∇_x D(x)||²] to the D loss. 0 disables. With
+    # r1_interval > 1 the penalty is applied lazily every k-th D update,
+    # scaled by k so the effective strength matches the per-step value —
+    # the fix for D-dominance collapse observed on walker under the
+    # reference protocol (docs/ROUND2_NOTES.md).
+    r1_gamma: float = 0.0
+    r1_interval: int = 16
+
+
+def r1_penalty(grad_real: jax.Array) -> jax.Array:
+    """E over batch of the squared grad norm of D's real logits w.r.t. the
+    real image (sum over pixel/channel axes, mean over batch)."""
+    g = grad_real.astype(jnp.float32)
+    return jnp.mean(jnp.sum(jnp.square(g), axis=tuple(range(1, g.ndim))))
 
 
 def hinge_d_loss(real_logits: List[jax.Array], fake_logits: List[jax.Array]) -> jax.Array:

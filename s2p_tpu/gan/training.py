@@ -34,6 +34,7 @@ from s2p_tpu.gan.losses import (
     hinge_g_loss,
     l1_loss,
     logits_of,
+    r1_penalty,
 )
 from s2p_tpu.gan.perceptual import PerceptualLoss
 
@@ -66,6 +67,9 @@ class GANTrainer:
     # backwards run in compute_dtype (bf16 rides the MXU at 2x); losses and
     # grads accumulate in fp32 — bf16 needs no loss scaling.
     compute_dtype: Any = jnp.float32
+    # adaptive D cadence: update D only every k-th step (G updates every
+    # step). 1 = reference behavior. >1 starves a dominant discriminator.
+    d_every: int = 1
 
     @classmethod
     def create(
@@ -81,6 +85,7 @@ class GANTrainer:
         use_perceptual: bool = True,
         vgg_variables: Any = None,
         compute_dtype: Any = jnp.float32,
+        d_every: int = 1,
     ) -> "GANTrainer":
         gen = S2PGenerator(image_size=image_size, out_channels=channels,
                            **(generator_kwargs or {}))
@@ -105,7 +110,7 @@ class GANTrainer:
                 seed=int(jax.random.randint(v_rng, (), 0, 2**31 - 1)),
             )
         return cls(gen, disc, g_state, d_state, perceptual, loss_cfg,
-                   compute_dtype)
+                   compute_dtype, d_every=max(int(d_every), 1))
 
     # -- compiled step ----------------------------------------------------
     def _update(
@@ -126,6 +131,10 @@ class GANTrainer:
         fake = jax.lax.stop_gradient(
             self.generator.apply(cast(g_state.params), state, prev)
         )
+        # lazy-R1 schedule keys off the G step counter (monotone even when
+        # the D cadence skips updates)
+        r1_interval = max(int(cfg.r1_interval), 1)
+        do_r1 = (g_state.step % r1_interval) == 0
 
         def d_loss_fn(d_params):
             d_params = cast(d_params)
@@ -135,12 +144,37 @@ class GANTrainer:
             loss = hinge_d_loss(
                 [f32(x) for x in logits_of(rf)], [f32(x) for x in logits_of(ff)]
             )
-            return loss, (rf,)
+            r1 = jnp.float32(0.0)
+            if cfg.r1_gamma > 0.0:
+                def real_logit_sum(img):
+                    feats = self.discriminator.apply(d_params, state, prev, img)
+                    return sum(jnp.sum(x.astype(jnp.float32))
+                               for x in logits_of(feats))
 
-        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            d_state.params
-        )
-        d_state = d_state.apply_gradients(grads=d_grads)
+                def compute_r1():
+                    return r1_penalty(jax.grad(real_logit_sum)(real))
+
+                # cond so the double-backprop FLOPs are only paid on the
+                # lazy steps; grads flow through cond to d_params
+                r1 = jax.lax.cond(do_r1, compute_r1,
+                                  lambda: jnp.float32(0.0))
+                loss = loss + (0.5 * cfg.r1_gamma * r1_interval) * r1
+            return loss, (r1,)
+
+        def d_update(d_st):
+            (d_l, (r1,)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_st.params)
+            return d_st.apply_gradients(grads=d_grads), d_l, r1
+
+        if self.d_every > 1:
+            do_d = (g_state.step % self.d_every) == 0
+            d_state, d_loss, d_r1 = jax.lax.cond(
+                do_d, d_update,
+                lambda d_st: (d_st, jnp.float32(0.0), jnp.float32(0.0)),
+                d_state,
+            )
+        else:
+            d_state, d_loss, d_r1 = d_update(d_state)
 
         # --- G update (D frozen, post-update D params) ---
         def g_loss_fn(g_params):
@@ -169,6 +203,8 @@ class GANTrainer:
         g_state = g_state.apply_gradients(grads=g_grads)
 
         metrics = dict(d_loss=d_loss, g_loss=g_loss, **aux)
+        if self.loss_cfg.r1_gamma > 0.0:
+            metrics["d_r1"] = d_r1
         return g_state, d_state, metrics
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))

@@ -222,3 +222,37 @@ def test_eval_period_skips_and_carries_stats(tmp_path):
     plen = [v for k in rows[0] if "path length" in k for v in
             (r[k] for r in rows)]
     assert plen and all(v not in ("", None) for v in plen)
+    # carried-forward rows are marked stale
+    fresh = [int(float(r["eval/is_fresh"])) for r in rows]
+    assert fresh == [1, 0, 0, 1, 0, 0, 1]
+
+
+def test_eval_period_first_epoch_always_evals(tmp_path):
+    """Gating is relative to start_epoch: a resume-shifted start epoch that
+    isn't a multiple of eval_period still evals on the FIRST epoch, so the
+    frozen csv header includes the eval/ columns from dump 0."""
+    import csv as _csv
+    import os.path as osp
+
+    env = StubEnv(obs_dim=OBS, action_dim=ACT, max_episode_steps=5)
+    buf = _fill(EnvReplayBuffer(200, env))
+    tr = _iql()
+    agent = PolicyAgent(tr.policy_module, tr.policy_state.params,
+                        deterministic=True)
+    algo = BatchRLAlgorithm(
+        trainer=tr, exploration_env=env, evaluation_env=env,
+        exploration_data_collector=MdpPathCollector(env, agent),
+        evaluation_data_collector=MdpPathCollector(env, agent),
+        replay_buffer=buf, batch_size=8, max_path_length=5, num_epochs=1,
+        num_eval_steps_per_epoch=5, num_expl_steps_per_train_loop=1,
+        num_trains_per_train_loop=1, start_epoch=-5,  # NOT % 3 == 0
+        logger=_logger(tmp_path), eval_period=3,
+    )
+    algo.train()
+    with open(osp.join(str(tmp_path / "run"), "progress.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 6
+    # epochs -5..0: fresh at -5 (first), -2, 0 (final)
+    fresh = [int(float(r["eval/is_fresh"])) for r in rows]
+    assert fresh == [1, 0, 0, 1, 0, 1]
+    assert all(r["eval/Average Returns"] not in ("", None) for r in rows)

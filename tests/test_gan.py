@@ -321,3 +321,40 @@ def test_gan_trainer_scanned_many_matches_per_step_scale():
     trainer.train_many(device_data, jax.random.PRNGKey(8),
                        num_steps=3, batch_size=4)
     assert int(trainer.g_state.step) == 8
+
+
+@pytest.mark.slow
+def test_gan_trainer_r1_and_d_cadence():
+    """R1 penalty (lazy, StyleGAN2 scaling) and adaptive D cadence: the
+    d_r1 metric is positive exactly on lazy steps, D's step counter only
+    advances on its cadence, and training stays finite."""
+    from s2p_tpu.gan.losses import GANLossConfig
+
+    rs = np.random.RandomState(2)
+    batch = dict(
+        prev_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+        state=rs.randn(4, STATE_DIM).astype(np.float32),
+        target_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+    )
+    trainer = GANTrainer.create(
+        jax.random.PRNGKey(0), state_dim=STATE_DIM, image_size=64,
+        generator_kwargs=dict(ngf=8, state_embed_dim=16, mat_hidden=16,
+                              state_freqs=2),
+        discriminator_kwargs=dict(num_scales=1, ndf=8, n_layers=2),
+        use_perceptual=False,
+        loss_cfg=GANLossConfig(r1_gamma=1.0, r1_interval=2),
+        d_every=2,
+    )
+    r1s, d_steps = [], []
+    for _ in range(4):
+        m = trainer.train_step(batch)
+        r1s.append(float(m["d_r1"]))
+        d_steps.append(int(trainer.d_state.step))
+        assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["g_loss"]))
+    # g_state.step goes 0,1,2,3 during the 4 calls: R1 fires on even steps
+    # (interval 2) and those coincide with the D-update steps (d_every 2)
+    assert r1s[0] > 0.0 and r1s[2] > 0.0
+    assert r1s[1] == 0.0 and r1s[3] == 0.0
+    assert d_steps == [1, 1, 2, 2]  # D updated on steps 0 and 2 only
+    assert int(trainer.g_state.step) == 4
