@@ -4,7 +4,13 @@ Capability contract (reference: rlkit/samplers/data_collector/
 path_collector.py:11-118): accumulate rollouts until the step budget,
 per-loop max_path_length clamping, discard-incomplete-paths rule, epoch path
 deque, diagnostics (num steps/paths + path-length stats), and a snapshot of
-policy (+ env)."""
+policy (+ env).
+
+The diagnostics key-set ("num steps total", "num paths total", "path
+length" stats) is part of the frozen progress.csv contract and must stay
+bit-identical; everything else here is repo-idiom bookkeeping shared with
+the step collector via ``EpochPathLog``.
+"""
 
 from __future__ import annotations
 
@@ -15,7 +21,49 @@ from s2p_tpu.samplers.rollout import rollout as default_rollout
 from s2p_tpu.utils.stats import create_stats_ordered_dict
 
 
+class EpochPathLog:
+    """Per-epoch path deque + lifetime step/path counters, rendered into
+    the diagnostics keys the frozen csv header expects. Shared by the
+    path- and step-granular collectors."""
+
+    def __init__(self, capacity: Optional[int] = None):
+        self.capacity = capacity
+        self.paths: deque = deque(maxlen=capacity)
+        self.lifetime_steps = 0
+        self.lifetime_paths = 0
+
+    def record(self, path: dict, count_steps: bool = True) -> None:
+        """count_steps=False for callers that count step-by-step as they
+        collect (the step collector's totals include the in-progress
+        path's steps)."""
+        self.paths.append(path)
+        self.lifetime_paths += 1
+        if count_steps:
+            self.lifetime_steps += len(path["actions"])
+
+    def clear_epoch(self) -> None:
+        self.paths = deque(maxlen=self.capacity)
+
+    def diagnostics(self) -> OrderedDict:
+        out = OrderedDict()
+        out["num steps total"] = self.lifetime_steps
+        out["num paths total"] = self.lifetime_paths
+        out.update(create_stats_ordered_dict(
+            "path length", [len(p["actions"]) for p in self.paths],
+            always_show_all_stats=True,
+        ))
+        return out
+
+
 class MdpPathCollector:
+    """Collects whole rollouts until a step budget is spent.
+
+    A trailing rollout that hits neither the env's terminal nor the full
+    ``max_path_length`` (i.e. it was clamped by the remaining budget) is
+    dropped when ``discard_incomplete_paths`` — eval protocols must not
+    average over truncated returns.
+    """
+
     def __init__(
         self,
         env,
@@ -29,70 +77,53 @@ class MdpPathCollector:
         slac_policy_input_type: Optional[str] = None,
         slac_obs_reset_w_same_obs: bool = False,
     ):
-        self._env = env
-        self._policy = policy
-        self._max_num_epoch_paths_saved = max_num_epoch_paths_saved
-        self._epoch_paths = deque(maxlen=max_num_epoch_paths_saved)
-        self._render = render
-        self._render_kwargs = render_kwargs or {}
+        self.env = env
+        self.policy = policy
+        self.log = EpochPathLog(max_num_epoch_paths_saved)
+        self.save_env_in_snapshot = save_env_in_snapshot
+        self._rollout_kwargs = dict(
+            render=render,
+            render_kwargs=render_kwargs or {},
+            slac_algo=slac_algo,
+            slac_policy_input_type=slac_policy_input_type,
+            slac_obs_reset_w_same_obs=slac_obs_reset_w_same_obs,
+        )
         self._rollout_fn = rollout_fn
-        self._num_steps_total = 0
-        self._num_paths_total = 0
-        self._save_env_in_snapshot = save_env_in_snapshot
-        self._slac_algo = slac_algo
-        self._slac_policy_input_type = slac_policy_input_type
-        self._slac_obs_reset_w_same_obs = slac_obs_reset_w_same_obs
 
-    def collect_new_paths(self, max_path_length, num_steps,
-                          discard_incomplete_paths):
-        paths = []
-        num_steps_collected = 0
-        while num_steps_collected < num_steps:
-            max_len_this_loop = min(
-                max_path_length, num_steps - num_steps_collected
+    def _one_rollout(self, length_cap: int) -> dict:
+        return self._rollout_fn(
+            self.env, self.policy, max_path_length=length_cap,
+            **self._rollout_kwargs,
+        )
+
+    def collect_new_paths(self, max_path_length: int, num_steps: int,
+                          discard_incomplete_paths: bool) -> list:
+        collected, budget = [], num_steps
+        while budget > 0:
+            path = self._one_rollout(min(max_path_length, budget))
+            n = len(path["actions"])
+            truncated_by_budget = (
+                n != max_path_length and not path["dones"][-1]
             )
-            path = self._rollout_fn(
-                self._env, self._policy,
-                max_path_length=max_len_this_loop,
-                render=self._render, render_kwargs=self._render_kwargs,
-                slac_algo=self._slac_algo,
-                slac_policy_input_type=self._slac_policy_input_type,
-                slac_obs_reset_w_same_obs=self._slac_obs_reset_w_same_obs,
-            )
-            path_len = len(path["actions"])
-            if (
-                path_len != max_path_length
-                and not path["dones"][-1]
-                and discard_incomplete_paths
-            ):
+            if truncated_by_budget and discard_incomplete_paths:
                 break
-            num_steps_collected += path_len
-            paths.append(path)
-        self._num_paths_total += len(paths)
-        self._num_steps_total += num_steps_collected
-        self._epoch_paths.extend(paths)
-        return paths
+            budget -= n
+            collected.append(path)
+        for path in collected:
+            self.log.record(path)
+        return collected
 
     def get_epoch_paths(self):
-        return self._epoch_paths
+        return self.log.paths
 
     def end_epoch(self, epoch: int) -> None:
-        self._epoch_paths = deque(maxlen=self._max_num_epoch_paths_saved)
+        self.log.clear_epoch()
 
-    def get_diagnostics(self):
-        path_lens = [len(p["actions"]) for p in self._epoch_paths]
-        stats = OrderedDict([
-            ("num steps total", self._num_steps_total),
-            ("num paths total", self._num_paths_total),
-        ])
-        stats.update(
-            create_stats_ordered_dict("path length", path_lens,
-                                      always_show_all_stats=True)
-        )
-        return stats
+    def get_diagnostics(self) -> OrderedDict:
+        return self.log.diagnostics()
 
-    def get_snapshot(self):
-        snap = dict(policy=self._policy)
-        if self._save_env_in_snapshot:
-            snap["env"] = self._env
+    def get_snapshot(self) -> dict:
+        snap = dict(policy=self.policy)
+        if self.save_env_in_snapshot:
+            snap["env"] = self.env
         return snap

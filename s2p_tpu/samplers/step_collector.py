@@ -4,16 +4,20 @@ Capability contract (reference: rlkit/samplers/data_collector/
 step_collector.py:10-120 ``MdpStepCollector``): collect the environment one
 step at a time, maintaining the in-progress path; completed (or max-length)
 paths roll into the epoch path deque; ``collect_new_steps`` loops
-``collect_one_step``."""
+``collect_one_step``. Diagnostics keys are the frozen-csv set shared via
+``EpochPathLog``.
+"""
 
 from __future__ import annotations
 
-from collections import OrderedDict, deque
 from typing import Optional
 
 import numpy as np
 
-from s2p_tpu.utils.stats import create_stats_ordered_dict
+from s2p_tpu.samplers.path_collector import EpochPathLog
+
+_PATH_KEYS = ("observations", "actions", "rewards", "next_observations",
+              "terminals", "dones", "agent_infos", "env_infos")
 
 
 class MdpStepCollector:
@@ -25,97 +29,79 @@ class MdpStepCollector:
         render: bool = False,
         render_kwargs: Optional[dict] = None,
     ):
-        self._env = env
-        self._policy = policy
-        self._max_num_epoch_paths_saved = max_num_epoch_paths_saved
-        self._epoch_paths = deque(maxlen=max_num_epoch_paths_saved)
-        self._render = render
-        self._render_kwargs = render_kwargs or {}
-        self._num_steps_total = 0
-        self._num_paths_total = 0
+        self.env = env
+        self.policy = policy
+        self.log = EpochPathLog(max_num_epoch_paths_saved)
+        self.render = render
+        self.render_kwargs = render_kwargs or {}
+        self._partial: Optional[dict] = None  # in-progress path columns
         self._obs: Optional[np.ndarray] = None
-        self._current_path: Optional[dict] = None
 
-    def collect_new_steps(self, max_path_length, num_steps,
-                          discard_incomplete_paths):
-        steps = []
-        for _ in range(num_steps):
-            steps.append(
-                self.collect_one_step(max_path_length, discard_incomplete_paths)
-            )
-        return steps
+    def collect_new_steps(self, max_path_length: int, num_steps: int,
+                          discard_incomplete_paths: bool) -> list:
+        return [self.collect_one_step(max_path_length,
+                                      discard_incomplete_paths)
+                for _ in range(num_steps)]
 
-    def collect_one_step(self, max_path_length, discard_incomplete_paths):
-        if self._obs is None:
-            self._start_new_rollout()
-        action, agent_info = self._policy.get_action(self._obs)
-        next_ob, reward, done, env_info = self._env.step(np.array(action, copy=True))
-        if self._render:
-            self._env.render(**self._render_kwargs)
-        terminal = bool(done) and not env_info.get("TimeLimit.truncated", False)
-        p = self._current_path
-        p["observations"].append(self._obs)
-        p["actions"].append(action)
-        p["rewards"].append(reward)
-        p["next_observations"].append(next_ob)
-        p["terminals"].append(terminal)
-        p["dones"].append(bool(done))
-        p["agent_infos"].append(agent_info)
-        p["env_infos"].append(env_info)
-        self._num_steps_total += 1
+    def collect_one_step(self, max_path_length: int,
+                         discard_incomplete_paths: bool) -> dict:
+        if self._partial is None:
+            self.policy.reset()
+            self._obs = self.env.reset()
+            self._partial = {k: [] for k in _PATH_KEYS}
+
+        obs = self._obs
+        action, agent_info = self.policy.get_action(obs)
+        next_obs, reward, done, env_info = self.env.step(
+            np.array(action, copy=True)
+        )
+        if self.render:
+            self.env.render(**self.render_kwargs)
+        # a TimeLimit truncation is a done (episode ends) but NOT a
+        # terminal (no absorbing-state bootstrap cutoff)
+        terminal = bool(done) and not env_info.get(
+            "TimeLimit.truncated", False
+        )
+
         step = dict(
-            observation=self._obs, action=action, reward=reward,
-            next_observation=next_ob, terminal=terminal, done=bool(done),
+            observation=obs, action=action, reward=reward,
+            next_observation=next_obs, terminal=terminal, done=bool(done),
             agent_info=agent_info, env_info=env_info,
         )
-        if done or len(p["actions"]) >= max_path_length:
-            self._handle_rollout_ending()
+        self.log.lifetime_steps += 1  # totals include the in-progress path
+        row = (obs, action, reward, next_obs, terminal, bool(done),
+               agent_info, env_info)
+        for key, value in zip(_PATH_KEYS, row):
+            self._partial[key].append(value)
+
+        if done or len(self._partial["actions"]) >= max_path_length:
+            self._finish_path()
         else:
-            self._obs = next_ob
+            self._obs = next_obs
         return step
 
-    def _start_new_rollout(self):
-        self._policy.reset()
-        self._obs = self._env.reset()
-        self._current_path = dict(
-            observations=[], actions=[], rewards=[], next_observations=[],
-            terminals=[], dones=[], agent_infos=[], env_infos=[],
-        )
-
-    def _handle_rollout_ending(self):
-        p = self._current_path
-        path = dict(
-            observations=np.array(p["observations"]),
-            actions=np.array(p["actions"]),
-            rewards=np.array(p["rewards"]).reshape(-1, 1),
-            next_observations=np.array(p["next_observations"]),
-            terminals=np.array(p["terminals"]).reshape(-1, 1),
-            dones=np.array(p["dones"]).reshape(-1, 1),
-            agent_infos=p["agent_infos"],
-            env_infos=p["env_infos"],
-        )
-        self._epoch_paths.append(path)
-        self._num_paths_total += 1
+    def _finish_path(self) -> None:
+        cols = self._partial
+        path = {k: np.array(cols[k]) for k in
+                ("observations", "actions", "next_observations")}
+        path.update({k: np.array(cols[k]).reshape(-1, 1) for k in
+                     ("rewards", "terminals", "dones")})
+        path["agent_infos"] = cols["agent_infos"]
+        path["env_infos"] = cols["env_infos"]
+        self.log.record(path, count_steps=False)
+        self._partial = None
         self._obs = None
-        self._current_path = None
 
     def get_epoch_paths(self):
-        return self._epoch_paths
+        return self.log.paths
 
-    def end_epoch(self, epoch):
-        self._epoch_paths = deque(maxlen=self._max_num_epoch_paths_saved)
+    def end_epoch(self, epoch: int) -> None:
+        self.log.clear_epoch()
+        self._partial = None
         self._obs = None
-        self._current_path = None
 
     def get_diagnostics(self):
-        path_lens = [len(p["actions"]) for p in self._epoch_paths]
-        stats = OrderedDict([
-            ("num steps total", self._num_steps_total),
-            ("num paths total", self._num_paths_total),
-        ])
-        stats.update(create_stats_ordered_dict("path length", path_lens,
-                                               always_show_all_stats=True))
-        return stats
+        return self.log.diagnostics()
 
-    def get_snapshot(self):
-        return dict(policy=self._policy, env=self._env)
+    def get_snapshot(self) -> dict:
+        return dict(policy=self.policy, env=self.env)

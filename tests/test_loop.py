@@ -144,7 +144,7 @@ def test_offline_iql_slac_end_to_end(tmp_path):
     log.set_print_tabular(False)
     algo = BatchRLAlgorithm(
         trainer=trainer,
-        exploration_env=expl_col._env, evaluation_env=env,
+        exploration_env=expl_col.env, evaluation_env=env,
         exploration_data_collector=expl_col,
         evaluation_data_collector=eval_col,
         replay_buffer=slac.buffer,
