@@ -192,9 +192,9 @@ def main(argv: Optional[list] = None) -> str:
         trainer.d_state = shard_pytree(mesh, trainer.d_state)
     elif mesh.devices.size > 1:
         logger.log(
-            f"WARNING: scan_chunk={args.scan_chunk} > 1 runs the scanned "
-            f"single-device path; the {mesh.devices.size}-device mesh is "
-            "NOT used for data parallelism (use --scan_chunk 1 for DP)"
+            f"scan_chunk={args.scan_chunk} on a {mesh.devices.size}-device "
+            "mesh: using the shard_map data-parallel scanned path "
+            "(dataset rows sharded over 'data', in-scan grad pmean)"
         )
 
     if args.init_g:
@@ -240,17 +240,24 @@ def main(argv: Optional[list] = None) -> str:
     t_start = time.time()
 
     device_data = None
+    scan_dp = args.scan_chunk > 1 and mesh.devices.size > 1
     if args.scan_chunk > 1:
         import jax.numpy as jnp
 
-        # stage the full dataset on device once (uint8 frames: 1 B/px)
+        # stage the full dataset on device once (uint8 frames: 1 B/px);
+        # the DP path shards rows over the mesh, so clip to a multiple
+        n = len(ds)
+        if scan_dp:
+            n -= n % mesh.devices.size
         device_data = dict(
-            prev_image=jnp.asarray(ds.prev_images),
-            state=jnp.asarray(ds.states),
-            target_image=jnp.asarray(ds.target_images),
+            prev_image=jnp.asarray(ds.prev_images[:n]),
+            state=jnp.asarray(ds.states[:n]),
+            target_image=jnp.asarray(ds.target_images[:n]),
         )
         logger.log(f"scan_chunk={args.scan_chunk}: dataset staged on device "
-                   f"({sum(x.nbytes for x in device_data.values()) / 1e9:.2f} GB)")
+                   f"({sum(x.nbytes for x in device_data.values()) / 1e9:.2f} GB"
+                   + (f", sharded over {mesh.devices.size} devices)" if scan_dp
+                      else ")"))
 
     for epoch in range(start_epoch, args.niter + 1):
         if device_data is not None:
@@ -266,9 +273,14 @@ def main(argv: Optional[list] = None) -> str:
                     jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
                     done_in_epoch,
                 )
-                metrics = trainer.train_many(
-                    device_data, key, chunk, args.batchSize
-                )
+                if scan_dp:
+                    metrics = trainer.train_many_dp(
+                        mesh, device_data, key, chunk, args.batchSize
+                    )
+                else:
+                    metrics = trainer.train_many(
+                        device_data, key, chunk, args.batchSize
+                    )
                 step += chunk
                 done_in_epoch += chunk
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -118,9 +118,21 @@ class GANTrainer:
         g_state: TrainState,
         d_state: TrainState,
         batch: Dict[str, jax.Array],
+        axis_name: Optional[str] = None,
     ) -> Tuple[TrainState, TrainState, Dict[str, jax.Array]]:
-        """One D+G update (traceable body shared by _step and _many)."""
+        """One D+G update (traceable body shared by _step and _many).
+
+        ``axis_name``: when running per-device under shard_map, gradients
+        (and metrics) are pmean'd over that mesh axis before the optimizer
+        applies them — the scanned-data-parallel path (train_many_dp)."""
         dt = self.compute_dtype
+        if axis_name is not None:
+            sync = lambda t: jax.lax.pmean(t, axis_name)
+            # constants in cond branches must match the data-dependent
+            # branch's varying-axes type under shard_map
+            vary = lambda t: jax.lax.pvary(t, (axis_name,))
+        else:
+            sync = vary = lambda t: t
         prev = _to_signed(batch["prev_image"]).astype(dt)
         real = _to_signed(batch["target_image"]).astype(dt)
         state = batch["state"].astype(dt)
@@ -157,20 +169,21 @@ class GANTrainer:
                 # cond so the double-backprop FLOPs are only paid on the
                 # lazy steps; grads flow through cond to d_params
                 r1 = jax.lax.cond(do_r1, compute_r1,
-                                  lambda: jnp.float32(0.0))
+                                  lambda: vary(jnp.float32(0.0)))
                 loss = loss + (0.5 * cfg.r1_gamma * r1_interval) * r1
             return loss, (r1,)
 
         def d_update(d_st):
             (d_l, (r1,)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(d_st.params)
-            return d_st.apply_gradients(grads=d_grads), d_l, r1
+            return d_st.apply_gradients(grads=sync(d_grads)), d_l, r1
 
         if self.d_every > 1:
             do_d = (g_state.step % self.d_every) == 0
             d_state, d_loss, d_r1 = jax.lax.cond(
                 do_d, d_update,
-                lambda d_st: (d_st, jnp.float32(0.0), jnp.float32(0.0)),
+                lambda d_st: (d_st, vary(jnp.float32(0.0)),
+                              vary(jnp.float32(0.0))),
                 d_state,
             )
         else:
@@ -200,12 +213,12 @@ class GANTrainer:
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_state.params
         )
-        g_state = g_state.apply_gradients(grads=g_grads)
+        g_state = g_state.apply_gradients(grads=sync(g_grads))
 
         metrics = dict(d_loss=d_loss, g_loss=g_loss, **aux)
         if self.loss_cfg.r1_gamma > 0.0:
             metrics["d_r1"] = d_r1
-        return g_state, d_state, metrics
+        return g_state, d_state, sync(metrics)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _step(
@@ -268,6 +281,73 @@ class GANTrainer:
         the same keys as ``train_step`` batches)."""
         self.g_state, self.d_state, metrics = self._many(
             self.g_state, self.d_state, data, key, num_steps, batch_size
+        )
+        return metrics
+
+    # -- scanned data-parallel path ---------------------------------------
+    # shard_map instead of pjit sharding annotations: NamedSharding-
+    # annotated scan carries trip XLA's SPMD partitioner into pathological
+    # compiles for conv bodies (measured round 2). shard_map writes the
+    # per-device program explicitly — dataset rows live sharded over the
+    # 'data' axis, each device samples its own sub-batch per scan step,
+    # and the in-scan grad pmean rides ICI. Params stay replicated.
+    def train_many_dp(
+        self,
+        mesh,
+        data: Dict[str, jax.Array],
+        key: jax.Array,
+        num_steps: int,
+        batch_size: int,
+    ) -> Dict[str, jax.Array]:
+        """``num_steps`` D+G updates in one compiled call, data-parallel
+        over ``mesh``'s 'data' axis. ``data`` rows must divide over the
+        axis; ``batch_size`` is the GLOBAL batch (split across devices)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        assert batch_size % n_dev == 0, (batch_size, n_dev)
+        per_dev = batch_size // n_dev
+        sharded = NamedSharding(mesh, P("data"))
+        data = {k: jax.device_put(v, sharded) for k, v in data.items()}
+
+        cache_key = (id(mesh), num_steps, per_dev)
+        cached = getattr(self, "_dp_fns", None)
+        if cached is None:
+            cached = self._dp_fns = {}
+        if cache_key in cached:
+            self.g_state, self.d_state, metrics = cached[cache_key](
+                self.g_state, self.d_state, data, key
+            )
+            return metrics
+
+        def local_run(g_state, d_state, shard, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            n_local = shard["state"].shape[0]
+
+            def body(carry, k):
+                g, d = carry
+                idx = jax.random.randint(k, (per_dev,), 0, n_local)
+                batch = {name: jnp.take(arr, idx, axis=0)
+                         for name, arr in shard.items()}
+                g, d, m = self._update(g, d, batch, axis_name="data")
+                return (g, d), m
+
+            keys = jax.random.split(key, num_steps)
+            (g_state, d_state), ms = jax.lax.scan(
+                body, (g_state, d_state), keys
+            )
+            return g_state, d_state, jax.tree_util.tree_map(
+                lambda x: x.mean(), ms
+            )
+
+        fn = jax.jit(jax.shard_map(
+            local_run, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P()),
+        ))
+        cached[cache_key] = fn
+        self.g_state, self.d_state, metrics = fn(
+            self.g_state, self.d_state, data, key
         )
         return metrics
 

@@ -130,3 +130,82 @@ def test_model_shard_params_trivial_axis_replicates(mesh8_data_only=None):
     placed = model_shard_params(mesh, params)
     assert placed["k"].sharding == replicated(mesh)
     assert placed["b"].sharding == replicated(mesh)
+
+
+@pytest.mark.slow
+def test_gan_train_many_dp_shard_map(mesh8):
+    """Scanned data-parallel GAN training (shard_map): dataset rows sharded
+    over 'data', in-scan grad pmean; params stay replicated and identical
+    across devices (out_specs P() enforces replication), metrics
+    finite, step counters advance by the scanned count."""
+    from s2p_tpu.gan import GANTrainer
+
+    rs = np.random.RandomState(0)
+    tr = GANTrainer.create(
+        jax.random.PRNGKey(0), state_dim=5, image_size=16,
+        generator_kwargs=dict(ngf=4, state_embed_dim=8, mat_hidden=8,
+                              state_freqs=2, n_up=2),
+        discriminator_kwargs=dict(num_scales=1, ndf=4, n_layers=2),
+        use_perceptual=False,
+    )
+    n_dev = mesh8.shape["data"]
+    rows = 4 * n_dev
+    data = dict(
+        prev_image=jnp.asarray(rs.randint(0, 255, (rows, 16, 16, 3),
+                                          dtype=np.uint8)),
+        state=jnp.asarray(rs.randn(rows, 5).astype(np.float32)),
+        target_image=jnp.asarray(rs.randint(0, 255, (rows, 16, 16, 3),
+                                            dtype=np.uint8)),
+    )
+    m = tr.train_many_dp(mesh8, data, jax.random.PRNGKey(1),
+                         num_steps=2, batch_size=2 * n_dev)
+    assert int(jax.device_get(tr.g_state.step)) == 2
+    assert int(jax.device_get(tr.d_state.step)) == 2
+    for v in jax.device_get(m).values():
+        assert np.isfinite(float(v))
+
+
+def test_rl_scan_state_with_sharded_buffer(mesh8):
+    """IQL/CQL scanned state-RL loops execute with the replay buffer's
+    device_state() rows sharded over the mesh 'data' axis."""
+    from jax.sharding import NamedSharding
+
+    from s2p_tpu.data.replay import SimpleReplayBuffer
+    from s2p_tpu.rl import CQLTrainer, CriticSLAC, IQLTrainer, TanhGaussianPolicy
+
+    rs = np.random.RandomState(0)
+    obs_dim, act = 5, 2
+    n_dev = mesh8.shape["data"]
+    sbuf = SimpleReplayBuffer(8 * n_dev, obs_dim, act)
+    for _ in range(8 * n_dev):
+        sbuf.add_sample(rs.randn(obs_dim), np.tanh(rs.randn(act)), rs.rand(),
+                        0.0, rs.randn(obs_dim))
+    sharding = NamedSharding(mesh8, P("data"))
+    buf_state = {
+        k: (jax.device_put(v, sharding) if getattr(v, "ndim", 0) > 0 else v)
+        for k, v in sbuf.device_state().items()
+    }
+
+    iql = IQLTrainer(
+        policy=TanhGaussianPolicy(hidden_sizes=(8,), action_dim=act),
+        critic=CriticSLAC(hidden_sizes=(8,)),
+        obs_dim=obs_dim, policy_input_dim=obs_dim, action_dim=act, seed=0,
+    )
+    _, m = iql._train_scan_state(
+        iql.policy_state, iql.critic_state, iql.target_q,
+        3, 8, buf_state, jnp.uint32(0), jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(jax.device_get(m["critic_loss"])))
+
+    cql = CQLTrainer(
+        policy=TanhGaussianPolicy(hidden_sizes=(8,), action_dim=act),
+        critic=CriticSLAC(hidden_sizes=(8,)),
+        obs_dim=obs_dim, policy_input_dim=obs_dim, action_dim=act, seed=1,
+    )
+    carry0 = (cql.policy_state, cql.critic_state, cql.target_q,
+              cql.log_alpha, cql.alpha_opt_state, cql.log_alpha_prime,
+              cql.alpha_prime_opt_state)
+    _, m = cql._train_scan_state(
+        carry0, 3, 8, buf_state, jnp.uint32(0), jax.random.PRNGKey(3),
+    )
+    assert np.isfinite(float(jax.device_get(m["critic_loss"])))
