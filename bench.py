@@ -60,6 +60,15 @@ def bench_torch_twin() -> float | None:
     return TORCH_TIMED * TORCH_BATCH / dt
 
 
+# rooflines for the honesty ratios. v5e chip: 197 TFLOP/s bf16. The
+# A6000 estimate assumes the reference's fp32 PyTorch path at a typical
+# cuDNN conv utilization — labeled as an ESTIMATE in the JSON (the chip is
+# not in this environment and the reference published no number).
+V5E_BF16_PEAK = 197e12
+A6000_FP32_PEAK = 38.7e12
+A6000_ASSUMED_UTIL = 0.40
+
+
 def main() -> None:
     from s2p_tpu.gan import S2PGenerator
     from s2p_tpu.gan.fast_inference import generate_rollout_fast as generate_rollout
@@ -83,20 +92,47 @@ def main() -> None:
     # block_until_ready is not a reliable sync on every backend (the axon
     # relay dispatches asynchronously) — force materialization via a scalar
     # device_get instead.
-    def run_once() -> float:
-        frames = generate_rollout(gen, params, init, states)
-        return float(jax.device_get(frames.sum()))
+    def measure(use_pallas: bool) -> float:
+        def run_once() -> float:
+            frames = generate_rollout(gen, params, init, states,
+                                      use_pallas=use_pallas)
+            return float(jax.device_get(frames.sum()))
 
-    for _ in range(WARMUP_ITERS):
-        run_once()
+        for _ in range(WARMUP_ITERS):
+            run_once()
+        t0 = time.perf_counter()
+        for _ in range(TIMED_ITERS):
+            run_once()
+        dt = time.perf_counter() - t0
+        return TIMED_ITERS * SEQ_LEN * BATCH / dt
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        run_once()
-    dt = time.perf_counter() - t0
+    fps_plain = measure(use_pallas=False)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    fps_pallas = measure(use_pallas=True) if on_tpu else None
+    use_pallas = bool(fps_pallas and fps_pallas > fps_plain)
+    fps = fps_pallas if use_pallas else fps_plain
 
-    frames = TIMED_ITERS * SEQ_LEN * BATCH
-    fps = frames / dt
+    # FLOPs per generated frame from the compiled executable (roofline
+    # denominator); null if the backend can't report cost analysis
+    flops_per_frame = None
+    try:
+        from s2p_tpu.gan.fast_inference import _fast_rollout
+
+        cost = (_fast_rollout.lower(gen, params, init, states, use_pallas)
+                .compile().cost_analysis())
+        if cost and cost.get("flops"):
+            flops_per_frame = float(cost["flops"]) / (SEQ_LEN * BATCH)
+    except Exception:
+        pass
+
+    pct_of_roof = (
+        round(100.0 * flops_per_frame * fps / V5E_BF16_PEAK, 1)
+        if (flops_per_frame and on_tpu) else None
+    )
+    a6000_est_fps = (
+        A6000_ASSUMED_UTIL * A6000_FP32_PEAK / flops_per_frame
+        if flops_per_frame else None
+    )
 
     torch_fps = bench_torch_twin()
     print(json.dumps({
@@ -107,9 +143,32 @@ def main() -> None:
             round(fps / torch_fps, 3) if torch_fps else None
         ),
         "precision": "bf16 params/activations, f32 accumulation",
-        "inference_path": "fast (constant-state-map shortcut, "
-                          "gan/fast_inference.py; parity-tested vs the "
-                          "flax apply)",
+        "inference_path": (
+            "fast (constant-state-map shortcut, gan/fast_inference.py; "
+            "parity-tested vs the flax apply)"
+            + (", fused Pallas MAT norm" if use_pallas else "")
+        ),
+        "pallas_ab": (
+            {
+                "plain_fps": round(fps_plain, 2),
+                "pallas_fps": round(fps_pallas, 2),
+                "speedup": round(fps_pallas / fps_plain, 3),
+                "adopted": use_pallas,
+            } if fps_pallas else None
+        ),
+        "flops_per_frame": (
+            round(flops_per_frame) if flops_per_frame else None
+        ),
+        "pct_of_bf16_roof": pct_of_roof,
+        "vs_a6000_estimate": (
+            {
+                "ratio": round(fps / a6000_est_fps, 1),
+                "a6000_est_frames_per_sec": round(a6000_est_fps, 1),
+                "formula": "A6000_fps ~= 0.40 util x 38.7 TFLOP/s fp32 "
+                           "/ flops_per_frame (estimate; chip not in this "
+                           "environment)",
+            } if a6000_est_fps else None
+        ),
         "baseline": (
             {
                 "name": "torch_twin_fp32_batch16_host_cpu",

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="constant-state-map modulation shortcut "
                         "(gan/fast_inference.py): same params, faster on "
                         "TPU, pixels equal up to float re-association")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="with --fast_inference: route the MAT norm+"
+                        "modulation through the fused Pallas VMEM kernel "
+                        "(gan/pallas_kernels.py; TPU only, A/B vs plain)")
     return p
 
 
@@ -111,7 +115,8 @@ def main(argv: Optional[list] = None) -> str:
     if args.fast_inference:
         from s2p_tpu.gan.fast_inference import generate_rollout_fast
 
-        frames = generate_rollout_fast(gen, variables, init_img, roll_states)
+        frames = generate_rollout_fast(gen, variables, init_img, roll_states,
+                                       use_pallas=args.use_pallas)
     else:
         frames = generate_rollout(gen, variables, init_img, roll_states)
     frames = np.asarray(jax.device_get(frames))[:, 0]  # [L, H, W, C]

@@ -81,11 +81,14 @@ def conv_const_map(e: jax.Array, kernel: jax.Array, H: int, W: int) -> jax.Array
 
 
 def _mat_norm_fast(
-    x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any]
+    x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any],
+    use_pallas: bool = False,
 ) -> jax.Array:
     """MATNorm with the shared conv split: state half via the constant-map
     shortcut, image half as a real conv (mat_mode='mat' layout: cond =
-    [state_map ‖ image_feat] along channels)."""
+    [state_map ‖ image_feat] along channels). ``use_pallas`` routes the
+    final norm+modulation through the fused VMEM kernel
+    (gan/pallas_kernels.py; shapes it can't tile fall back to plain)."""
     S = e.shape[-1]
     k = p["mlp_shared"]["kernel"]  # [3, 3, S + C_img, hidden]
     H, W = x.shape[1], x.shape[2]
@@ -98,20 +101,25 @@ def _mat_norm_fast(
     h = jax.nn.relu(h_state + h_img + p["mlp_shared"]["bias"])
     gamma = _conv(h, p["mlp_gamma"])
     beta = _conv(h, p["mlp_beta"])
+    if use_pallas:
+        from s2p_tpu.gan.pallas_kernels import fused_mat_norm
+
+        return fused_mat_norm(x, gamma, beta)
     return instance_norm(x) * (1.0 + gamma) + beta
 
 
 def _res_block_fast(
-    x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any]
+    x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any],
+    use_pallas: bool = False,
 ) -> jax.Array:
-    h = _mat_norm_fast(x, e, image_feat, p["norm_0"])
+    h = _mat_norm_fast(x, e, image_feat, p["norm_0"], use_pallas)
     h = jax.nn.leaky_relu(h, 0.2)
     h = _conv(h, p["conv_0"])
-    h = _mat_norm_fast(h, e, image_feat, p["norm_1"])
+    h = _mat_norm_fast(h, e, image_feat, p["norm_1"], use_pallas)
     h = jax.nn.leaky_relu(h, 0.2)
     h = _conv(h, p["conv_1"])
     if "conv_s" in p:
-        s = _mat_norm_fast(x, e, image_feat, p["norm_s"])
+        s = _mat_norm_fast(x, e, image_feat, p["norm_s"], use_pallas)
         s = _conv(s, p["conv_s"])
     else:
         s = x
@@ -121,6 +129,7 @@ def _res_block_fast(
 def fast_apply(
     gen: S2PGenerator, variables: Dict[str, Any],
     state: jax.Array, prev_image: jax.Array,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Drop-in for ``gen.apply(variables, state, prev_image)`` (mat_mode
     'mat' only); same params, same output up to float re-association."""
@@ -147,7 +156,8 @@ def fast_apply(
     x = x.reshape(x.shape[0], hw0, hw0, -1)
 
     for i, size in enumerate(sizes):
-        x = _res_block_fast(x, e, enc_by_size[size], p[f"block_{i}"])
+        x = _res_block_fast(x, e, enc_by_size[size], p[f"block_{i}"],
+                            use_pallas)
         if i < len(sizes) - 1:
             x = upsample_nearest(x, sizes[i + 1])
 
@@ -156,18 +166,19 @@ def fast_apply(
     return jnp.tanh(x)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _fast_rollout(gen, variables, init_image, states):
+@partial(jax.jit, static_argnums=(0, 4))
+def _fast_rollout(gen, variables, init_image, states, use_pallas=False):
     """seq_len autoregressive generation with the fast apply
     (gan/rollout.py::generate_rollout contract: states [T, B, S])."""
 
     def step(img, s):
-        nxt = fast_apply(gen, variables, s, img)
+        nxt = fast_apply(gen, variables, s, img, use_pallas)
         return nxt, nxt
 
     _, frames = jax.lax.scan(step, init_image, states)
     return frames
 
 
-def generate_rollout_fast(gen, variables, init_image, states):
-    return _fast_rollout(gen, variables, init_image, states)
+def generate_rollout_fast(gen, variables, init_image, states,
+                          use_pallas: bool = False):
+    return _fast_rollout(gen, variables, init_image, states, use_pallas)

@@ -13,8 +13,10 @@ Mosaic tiling requires H·W % 128 == 0 and C % 8 == 0; other shapes (the
 tiny low-resolution blocks, 100px odd sizes) fall back to the plain jnp
 implementation — they are a negligible share of the runtime.
 
-Used on the inference path (rollout/bench); training uses the plain jnp
-implementation so autodiff stays simple.
+Wired into the fast-inference path behind the ``use_pallas`` opt-in
+(fast_inference.fast_apply, ``simple_test.py --use_pallas``, and the
+bench.py A/B); training uses the plain jnp implementation so autodiff
+stays simple.
 """
 
 from __future__ import annotations
