@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="state_dataset.hdf5")
     p.add_argument("--log_interval", type=int, default=1_000)
+    p.add_argument("--target_entropy", type=float, default=None,
+                   help="SAC auto-alpha target entropy (default -|A|). "
+                        "Raise (e.g. -|A|/2) for a higher-entropy dataset "
+                        "with less action saturation — CQL's BC warmup "
+                        "degenerates on bang-bang datasets")
     return p
 
 
@@ -52,6 +57,7 @@ def main(argv=None) -> str:
         policy=TanhGaussianPolicy(hidden_sizes=(256, 256), action_dim=act_dim),
         critic=CriticSLAC(hidden_sizes=(256, 256)),
         obs_dim=obs_dim, action_dim=act_dim, seed=args.seed,
+        target_entropy=args.target_entropy,
     )
     agent = PolicyAgent(trainer.policy_module, trainer.policy_state.params,
                         seed=args.seed)
