@@ -158,13 +158,24 @@ class GANTrainer:
             )
             r1 = jnp.float32(0.0)
             if cfg.r1_gamma > 0.0:
-                def real_logit_sum(img):
-                    feats = self.discriminator.apply(d_params, state, prev, img)
-                    return sum(jnp.sum(x.astype(jnp.float32))
-                               for x in logits_of(feats))
+                # per-sample MEAN over patch logits (matching hinge_d_loss's
+                # mean normalization), batch-summed so grad(img) carries each
+                # sample's own logit gradient. Summing raw patch logits
+                # instead scales the penalty by the patch count (~180x at
+                # 100px/2 scales) and crushes D to a constant function.
+                def real_logit_mean(img):
+                    feats = logits_of(
+                        self.discriminator.apply(d_params, state, prev, img)
+                    )
+                    per_sample = sum(
+                        jnp.mean(x.astype(jnp.float32),
+                                 axis=tuple(range(1, x.ndim)))
+                        for x in feats
+                    ) / len(feats)  # [B]
+                    return jnp.sum(per_sample)
 
                 def compute_r1():
-                    return r1_penalty(jax.grad(real_logit_sum)(real))
+                    return r1_penalty(jax.grad(real_logit_mean)(real))
 
                 # cond so the double-backprop FLOPs are only paid on the
                 # lazy steps; grads flow through cond to d_params
