@@ -60,11 +60,14 @@ def bench_torch_twin() -> float | None:
     return TORCH_TIMED * TORCH_BATCH / dt
 
 
-# rooflines for the honesty ratios. v5e chip: 197 TFLOP/s bf16. The
-# A6000 estimate assumes the reference's fp32 PyTorch path at a typical
-# cuDNN conv utilization — labeled as an ESTIMATE in the JSON (the chip is
-# not in this environment and the reference published no number).
+# rooflines for the honesty ratios. v5e chip: 197 TFLOP/s bf16, ~819 GB/s
+# HBM. The A6000 estimate models the REFERENCE code on its hardware — the
+# plain conv generator (the constant-state-map shortcut is ours, so the
+# estimate uses the PLAIN path's FLOPs) at fp32 with a typical cuDNN conv
+# utilization — labeled an ESTIMATE in the JSON (the chip is not in this
+# environment and the reference published no number).
 V5E_BF16_PEAK = 197e12
+V5E_HBM_BW = 819e9
 A6000_FP32_PEAK = 38.7e12
 A6000_ASSUMED_UTIL = 0.40
 
@@ -112,9 +115,10 @@ def main() -> None:
     use_pallas = bool(fps_pallas and fps_pallas > fps_plain)
     fps = fps_pallas if use_pallas else fps_plain
 
-    # FLOPs per generated frame from the compiled executable (roofline
-    # denominator); null if the backend can't report cost analysis
+    # FLOPs + HBM bytes per generated frame from the compiled executable
+    # (roofline denominators); null if the backend can't report cost analysis
     flops_per_frame = None
+    bytes_per_frame = None
     try:
         from s2p_tpu.gan.fast_inference import _fast_rollout
 
@@ -122,6 +126,20 @@ def main() -> None:
                 .compile().cost_analysis())
         if cost and cost.get("flops"):
             flops_per_frame = float(cost["flops"]) / (SEQ_LEN * BATCH)
+        if cost and cost.get("bytes accessed"):
+            bytes_per_frame = float(cost["bytes accessed"]) / (SEQ_LEN * BATCH)
+    except Exception:
+        pass
+
+    # The reference on its A6000 would run the PLAIN generator forward
+    # (the constant-state-map shortcut is ours), so the estimate's FLOP
+    # count comes from the plain flax apply, not the fast path.
+    plain_flops_per_frame = None
+    try:
+        cost_p = (jax.jit(gen.apply).lower(params, states[0], init)
+                  .compile().cost_analysis())
+        if cost_p and cost_p.get("flops"):
+            plain_flops_per_frame = float(cost_p["flops"]) / BATCH
     except Exception:
         pass
 
@@ -129,9 +147,13 @@ def main() -> None:
         round(100.0 * flops_per_frame * fps / V5E_BF16_PEAK, 1)
         if (flops_per_frame and on_tpu) else None
     )
+    pct_of_hbm_roof = (
+        round(100.0 * bytes_per_frame * fps / V5E_HBM_BW, 1)
+        if (bytes_per_frame and on_tpu) else None
+    )
     a6000_est_fps = (
-        A6000_ASSUMED_UTIL * A6000_FP32_PEAK / flops_per_frame
-        if flops_per_frame else None
+        A6000_ASSUMED_UTIL * A6000_FP32_PEAK / plain_flops_per_frame
+        if plain_flops_per_frame else None
     )
 
     torch_fps = bench_torch_twin()
@@ -160,13 +182,17 @@ def main() -> None:
             round(flops_per_frame) if flops_per_frame else None
         ),
         "pct_of_bf16_roof": pct_of_roof,
+        "pct_of_hbm_roof": pct_of_hbm_roof,
         "vs_a6000_estimate": (
             {
                 "ratio": round(fps / a6000_est_fps, 1),
                 "a6000_est_frames_per_sec": round(a6000_est_fps, 1),
                 "formula": "A6000_fps ~= 0.40 util x 38.7 TFLOP/s fp32 "
-                           "/ flops_per_frame (estimate; chip not in this "
-                           "environment)",
+                           "/ plain-path flops_per_frame "
+                           f"({round((plain_flops_per_frame or 0) / 1e9, 2)} "
+                           "GFLOP; the reference would run the plain "
+                           "generator, not our fast path) — estimate, the "
+                           "chip is not in this environment",
             } if a6000_est_fps else None
         ),
         "baseline": (

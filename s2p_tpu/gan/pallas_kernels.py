@@ -17,6 +17,15 @@ Wired into the fast-inference path behind the ``use_pallas`` opt-in
 (fast_inference.fast_apply, ``simple_test.py --use_pallas``, and the
 bench.py A/B); training uses the plain jnp implementation so autodiff
 stays simple.
+
+MEASURED VERDICT (round 3, real v5e chip, bench.py A/B at 64px/ngf=64):
+plain 10,629 fps vs pallas 8,833 fps — the kernel LOSES (0.83x) and is
+therefore not adopted (bench auto-picks the winner; ``use_pallas``
+defaults False everywhere). Diagnosis: on the fast path the big
+activations are already consumed by a single fused XLA
+reduction+elementwise pair, and the NHWC→[C, HW] relayout this kernel
+needs costs more HBM round-trips than the fusion saves. Kept as the A/B
+harness + a worked Pallas example; do not enable by default.
 """
 
 from __future__ import annotations
