@@ -34,7 +34,7 @@ case "$stage" in
       --slac_latent_model_load_dir runs/flagship2/cheetah2_slac_model \
       --data_path_real runs/flagship2/cheetah_entropy_image_100.hdf5 \
       --data_path_gen runs/flagship2/cheetah2_augment.hdf5 \
-      --gan_checkpoint runs/flagship2/cheetah2_checkpoints/cheetah2_30.pkl \
+      --gan_checkpoint "${GAN_CKPT:-runs/flagship2/cheetah2_checkpoints/cheetah2_20.pkl}" \
       --data_mix_type all_state_1step_random_action \
       --data_mix_num_real 50000 --data_mix_num_gen 50000 \
       --uncertainty_type aleatoric --uncertainty_penalty_lambda 2 \
