@@ -26,6 +26,16 @@ case "$stage" in
       --checkpoints_dir runs/flagship2/cheetah2_checkpoints \
       --log_dir runs/flagship2/cheetah2_gan_logs \
       --resume_dir runs/flagship2/cheetah2_gan_ckpt --eval_num 256 ;;
+  gan_r1)  # chip, ~70 min: same protocol + lazy-R1 (the no-decay A/B —
+           # the no-R1 run peaked 33.93/0.956 at epoch 25 then decayed to
+           # 30.14/0.817 by 30; see ROUND3_NOTES "Cheetah2 pipeline")
+    exec python -u train.py \
+      --dataroot runs/flagship2/cheetah_entropy_image_100.hdf5 \
+      --env_type cheetah2r1 --netG s2p --batchSize 16 --bf16 --niter 30 \
+      --r1_gamma 1 --scan_chunk 625 --save_epoch_freq 10 \
+      --checkpoints_dir runs/flagship2/cheetah2r1_checkpoints \
+      --log_dir runs/flagship2/cheetah2r1_gan_logs \
+      --resume_dir runs/flagship2/cheetah2r1_gan_ckpt --eval_num 256 ;;
   cql)  # chip, ~60 min
     exec python -u examples/iql/mujoco_finetune.py \
       --env_name cheetah-run --exp_name cql_image_entropy \

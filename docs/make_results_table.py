@@ -117,7 +117,8 @@ def main(out_path="docs/RESULTS_TABLE.md"):
          "data policy ~250"),
         ("cheetah CQL image (r3, entropy data)",
          "docs/flagship2/cql_image_entropy_progress.csv",
-         "data policy ~250"),
+         "data policy ~250; stable 278-348 for 100 epochs (-120..-20), then "
+         "late over-conservatism collapse (Q drift, ROUND3_NOTES)"),
         ("walker IQL image (r3)", "docs/flagship2/walker_iql_progress.csv",
          "data policy ~281; paper: S2P 70.95-97.97 vs COMBO 57.7-76.4 "
          "(normalized)"),
