@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--uncertainty_type", type=str, default=None)
     p.add_argument("--uncertainty_penalty_lambda", type=float, default=1.0)
     p.add_argument("--seperate_buffer", action="store_true")
+    # CQL conservatism knobs (reference hardcodes these in its
+    # trainer_kwargs table, mujoco_finetune.py:134-138; exposed here as
+    # flags — same defaults). with_lagrange trades the fixed penalty
+    # weight for a dual variable targeting lagrange_thresh action-gap,
+    # the standard fix for late-training Q over-conservatism drift
+    # (docs/ROUND3_NOTES.md image-CQL analysis).
+    p.add_argument("--min_q_weight", type=float, default=5.0)
+    p.add_argument("--with_lagrange", action="store_true")
+    p.add_argument("--lagrange_thresh", type=float, default=-1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gpu_id", type=int, default=0,
                    help="accepted for reference-CLI parity; ignored")
@@ -260,7 +269,9 @@ def experiment(variant) -> str:
         trainer = CQLTrainer(
             discount=0.99, policy_lr=1e-4, qf_lr=3e-4, reward_scale=1.0,
             soft_target_tau=5e-3, policy_eval_start=40_000, temp=1.0,
-            min_q_version=3, min_q_weight=5.0, num_random=10, **common,
+            min_q_version=3, min_q_weight=variant["min_q_weight"],
+            num_random=10, with_lagrange=variant["with_lagrange"],
+            lagrange_thresh=variant["lagrange_thresh"], **common,
         )
 
     eval_agent = PolicyAgent(policy, trainer.policy_state.params,
@@ -359,7 +370,9 @@ def _state_rl_experiment(variant, eval_env, expl_env, action_dim,
     else:
         trainer = CQLTrainer(
             discount=0.99, policy_lr=1e-4, qf_lr=3e-4, soft_target_tau=5e-3,
-            policy_eval_start=40_000, min_q_weight=5.0, **common,
+            policy_eval_start=40_000, min_q_weight=variant["min_q_weight"],
+            with_lagrange=variant["with_lagrange"],
+            lagrange_thresh=variant["lagrange_thresh"], **common,
         )
     eval_agent = PolicyAgent(policy, trainer.policy_state.params,
                              deterministic=True, seed=variant["seed"])
