@@ -358,3 +358,34 @@ def test_iql_train_many_state_rl():
     assert np.isfinite(host["critic_loss"])
     assert host["qf1_loss"] < first["qf1_loss"]
     assert tr._n_train_steps_total == 40
+
+
+@pytest.mark.slow
+def test_cql_lagrange_dual_updates():
+    """--with_lagrange: the dual variable alpha_prime moves (and only
+    then), in both the per-step path and the state-RL scanned loop
+    (reference: cql_trainer.py:387-395 optional Lagrange alpha')."""
+    from s2p_tpu.data.env_replay_buffer import EnvReplayBuffer
+    from s2p_tpu.envs import StubEnv
+
+    batch = _batch(B=8)
+    tr_off = _cql(policy_eval_start=0, seed=0)
+    tr_on = _cql(policy_eval_start=0, with_lagrange=True,
+                 lagrange_thresh=10.0, seed=0)
+    for _ in range(3):
+        tr_off.train(batch)
+        tr_on.train(batch)
+    assert float(tr_off.log_alpha_prime) == 0.0
+    assert float(tr_on.log_alpha_prime) != 0.0
+
+    env = StubEnv(obs_dim=OBS, action_dim=ACT)
+    buf = EnvReplayBuffer(100, env)
+    rs = np.random.RandomState(0)
+    for _ in range(40):
+        buf.add_sample(rs.randn(OBS), np.tanh(rs.randn(ACT)), rs.rand(), 0.0,
+                       rs.randn(OBS))
+    tr_scan = _cql(policy_eval_start=0, with_lagrange=True,
+                   lagrange_thresh=10.0, seed=0)
+    m = tr_scan.train_many(num_steps=5, batch_size=8, buffer=buf)
+    assert np.isfinite(float(jax.device_get(m["critic_loss"])))
+    assert float(tr_scan.log_alpha_prime) != 0.0
