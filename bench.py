@@ -72,7 +72,36 @@ A6000_FP32_PEAK = 38.7e12
 A6000_ASSUMED_UTIL = 0.40
 
 
+def _probe_default_backend(timeout_s: float = 120.0) -> bool:
+    """True if the default jax backend initializes within the timeout.
+
+    The tunneled-TPU plugin blocks in a reconnect loop when its relay is
+    down (observed round 3: >1 h outage) — probing in-process would hang
+    this benchmark forever. Probe in a subprocess; on failure the caller
+    falls back to the CPU platform with an honest label."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    global BATCH, TIMED_ITERS, WARMUP_ITERS
+    if not _probe_default_backend():
+        jax.config.update("jax_platforms", "cpu")
+        # the full config is a multi-hour job on one CPU core — shrink so
+        # an honest (labeled) JSON line still comes out
+        BATCH, TIMED_ITERS, WARMUP_ITERS = 8, 1, 1
+        print("WARNING: default backend unreachable (TPU relay down?) — "
+              "falling back to CPU at reduced batch; numbers below are "
+              "NOT chip numbers", file=sys.stderr)
+
     from s2p_tpu.gan import S2PGenerator
     from s2p_tpu.gan.fast_inference import generate_rollout_fast as generate_rollout
 
@@ -161,6 +190,7 @@ def main() -> None:
         "metric": "cheetah_64px_generated_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
+        "backend": jax.default_backend(),
         "vs_baseline": (
             round(fps / torch_fps, 3) if torch_fps else None
         ),
