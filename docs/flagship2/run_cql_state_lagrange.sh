@@ -8,7 +8,7 @@
 # policy collapsed in the last 20 epochs).
 set -e
 cd /root/repo
-exec env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo:/root/.axon_site \
+exec env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
   JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
   python -u examples/iql/mujoco_finetune.py \
   --env_name cheetah-run --exp_name cql_state_entropy_lagrange \
