@@ -52,7 +52,11 @@ case "$stage" in
       --batch_size 128 --scan_training --eval_period 10 \
       --save_video_period 50 --resume_dir runs/flagship2/cql2_ckpt \
       --log_dir runs/flagship2/rl_logs ;;
-  cql_state)  # host CPU sanity: CQL on state observations, new dataset
+  cql_state)  # CQL on state observations, new dataset. NOTE: despite
+              # JAX_PLATFORMS=cpu, the axon sitecustomize overrides the
+              # env var and this executed ON THE CHIP (69 it/s; ~3-6
+              # it/s is the true 1-core CPU rate) — treat recorded
+              # timings as chip numbers
     exec env JAX_PLATFORMS=cpu python -u examples/iql/mujoco_finetune.py \
       --env_name cheetah-run --exp_name cql_state_entropy \
       --algo_type cql --no_curl_contrastive_learning --gpu_id 0 \

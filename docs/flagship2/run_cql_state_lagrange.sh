@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# CQL-Lagrange A/B at protocol scale (CPU, ~75 min): identical to the
+# CQL-Lagrange A/B at protocol scale: identical to the
 # round-3 state-CQL entropy run except --with_lagrange --lagrange_thresh
 # 10 (reference: rlkit cql_trainer.py:387-395 optional Lagrange alpha').
 # Purpose: demonstrate the dual variable containing the monotone dataset-Q
@@ -8,7 +8,10 @@
 # policy collapsed in the last 20 epochs).
 set -e
 cd /root/repo
-exec env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+# CHIP JOB (~75 min): on one CPU core this is ~290 s/epoch = 12 h.
+# The baseline cql_state run executed on the chip (see pipeline
+# script note), so the A/B must too for comparable timings.
+exec env PYTHONPATH=/root/repo:/root/.axon_site \
   JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
   python -u examples/iql/mujoco_finetune.py \
   --env_name cheetah-run --exp_name cql_state_entropy_lagrange \
