@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "every N epochs; 0 disables")
     p.add_argument("--eval_num", type=int, default=256,
                    help="held-out pairs used for evaluation")
+    p.add_argument("--no_save_best", action="store_true",
+                   help="disable the eval-driven {env}_best.pkl/.pth "
+                        "export (on by default: whenever a fresh held-out "
+                        "PSNR eval improves on the best seen, the current "
+                        "generator is saved as {env}_best — checkpoint "
+                        "cadence no longer decides which epoch survives)")
     p.add_argument("--init_g", type=str, default=None,
                    help="initialize the generator from a saved checkpoint "
                         "(.pkl flax params or torch-layout .pth) before "
@@ -237,6 +243,7 @@ def main(argv: Optional[list] = None) -> str:
     rng = np.random.RandomState(args.seed + start_epoch)
     step = 0
     last_eval = None
+    best_psnr, best_epoch = float("-inf"), None
     t_start = time.time()
 
     device_data = None
@@ -249,6 +256,10 @@ def main(argv: Optional[list] = None) -> str:
         n = len(ds)
         if scan_dp:
             n -= n % mesh.devices.size
+            if n != len(ds):
+                logger.log(f"DP sharding: dropped {len(ds) - n} trailing "
+                           f"row(s) to make the dataset divide over "
+                           f"{mesh.devices.size} devices ({n} rows kept)")
         device_data = dict(
             prev_image=jnp.asarray(ds.prev_images[:n]),
             state=jnp.asarray(ds.states[:n]),
@@ -311,7 +322,15 @@ def main(argv: Optional[list] = None) -> str:
             epoch == start_epoch or epoch % args.eval_interval == 0
         ):
             last_eval = evaluate_generator(trainer, ds, args.eval_num)
+            if not args.no_save_best and last_eval["psnr"] > best_psnr:
+                best_psnr, best_epoch = last_eval["psnr"], epoch
+                _save_checkpoint(args, "best", trainer, params_to_state_dict)
+                logger.log(f"new best PSNR {best_psnr:.2f} at epoch {epoch} "
+                           f"→ {args.env_type}_best.pkl")
         if last_eval is not None:
+            if not args.no_save_best:
+                logger.record_tabular("eval/best_psnr", best_psnr)
+                logger.record_tabular("eval/best_epoch", best_epoch)
             # record every epoch so the frozen csv header includes the eval
             # columns from the first dump (logging.py key-freeze contract)
             logger.record_dict(last_eval, prefix="eval/")

@@ -143,10 +143,14 @@ class GANTrainer:
         fake = jax.lax.stop_gradient(
             self.generator.apply(cast(g_state.params), state, prev)
         )
-        # lazy-R1 schedule keys off the G step counter (monotone even when
-        # the D cadence skips updates)
+        # lazy-R1 schedule keys off the D step counter, which increments
+        # only on actual D updates — so with d_every > 1 the penalty still
+        # fires every r1_interval-th PERFORMED update and the StyleGAN2
+        # interval scaling below stays exact (gating on g_state.step would
+        # fire only every lcm(r1_interval, d_every) G-steps while still
+        # scaling by r1_interval, silently weakening effective R1)
         r1_interval = max(int(cfg.r1_interval), 1)
-        do_r1 = (g_state.step % r1_interval) == 0
+        do_r1 = (d_state.step % r1_interval) == 0
 
         def d_loss_fn(d_params):
             d_params = cast(d_params)
@@ -321,7 +325,12 @@ class GANTrainer:
         sharded = NamedSharding(mesh, P("data"))
         data = {k: jax.device_put(v, sharded) for k, v in data.items()}
 
-        cache_key = (id(mesh), num_steps, per_dev)
+        # stable mesh descriptor, NOT id(mesh): a GC'd mesh's id can be
+        # reused by a new Mesh object, which would return a shard_map
+        # closure bound to the dead mesh
+        mesh_desc = (tuple(sorted(mesh.shape.items())),
+                     tuple(d.id for d in mesh.devices.flat))
+        cache_key = (mesh_desc, num_steps, per_dev)
         cached = getattr(self, "_dp_fns", None)
         if cached is None:
             cached = self._dp_fns = {}

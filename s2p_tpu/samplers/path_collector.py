@@ -33,9 +33,8 @@ class EpochPathLog:
         self.lifetime_paths = 0
 
     def record(self, path: dict, count_steps: bool = True) -> None:
-        """count_steps=False for callers that count step-by-step as they
-        collect (the step collector's totals include the in-progress
-        path's steps)."""
+        """Lifetime step totals count kept paths only (reference
+        semantics for both collectors)."""
         self.paths.append(path)
         self.lifetime_paths += 1
         if count_steps:

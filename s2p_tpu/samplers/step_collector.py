@@ -4,8 +4,10 @@ Capability contract (reference: rlkit/samplers/data_collector/
 step_collector.py:10-120 ``MdpStepCollector``): collect the environment one
 step at a time, maintaining the in-progress path; completed (or max-length)
 paths roll into the epoch path deque; ``collect_new_steps`` loops
-``collect_one_step``. Diagnostics keys are the frozen-csv set shared via
-``EpochPathLog``.
+``collect_one_step``; a short path that ended without the env signalling
+done is dropped when ``discard_incomplete_paths`` and lifetime step totals
+count only kept paths (reference ``_handle_rollout_ending``). Diagnostics
+keys are the frozen-csv set shared via ``EpochPathLog``.
 """
 
 from __future__ import annotations
@@ -68,29 +70,37 @@ class MdpStepCollector:
             next_observation=next_obs, terminal=terminal, done=bool(done),
             agent_info=agent_info, env_info=env_info,
         )
-        self.log.lifetime_steps += 1  # totals include the in-progress path
         row = (obs, action, reward, next_obs, terminal, bool(done),
                agent_info, env_info)
         for key, value in zip(_PATH_KEYS, row):
             self._partial[key].append(value)
 
         if done or len(self._partial["actions"]) >= max_path_length:
-            self._finish_path()
+            self._finish_path(max_path_length, discard_incomplete_paths)
         else:
             self._obs = next_obs
         return step
 
-    def _finish_path(self) -> None:
+    def _finish_path(self, max_path_length: int,
+                     discard_incomplete_paths: bool) -> None:
         cols = self._partial
+        self._partial = None
+        self._obs = None
+        # reference _handle_rollout_ending: a path shorter than
+        # max_path_length whose final raw env done is False is dropped
+        # (and its steps never hit the lifetime totals) when
+        # discard_incomplete_paths
+        incomplete = (len(cols["actions"]) != max_path_length
+                      and not cols["dones"][-1])
+        if incomplete and discard_incomplete_paths:
+            return
         path = {k: np.array(cols[k]) for k in
                 ("observations", "actions", "next_observations")}
         path.update({k: np.array(cols[k]).reshape(-1, 1) for k in
                      ("rewards", "terminals", "dones")})
         path["agent_infos"] = cols["agent_infos"]
         path["env_infos"] = cols["env_infos"]
-        self.log.record(path, count_steps=False)
-        self._partial = None
-        self._obs = None
+        self.log.record(path)
 
     def get_epoch_paths(self):
         return self.log.paths

@@ -45,6 +45,8 @@ def test_train_gan_cli_smoke(tiny_hdf5, tmp_path):
     ckpts = os.listdir(tmp_path / "ckpt")
     assert any(c.endswith(".pkl") for c in ckpts)
     assert any(c.endswith(".pth") for c in ckpts)  # torch export (torch available)
+    # eval-driven best export: first fresh eval sets the best
+    assert "cheetah_best.pkl" in ckpts
 
 
 @pytest.mark.slow
@@ -128,3 +130,45 @@ def test_final_eval_cli_parser():
     import inspect
     sig = inspect.signature(fe_main)
     assert "argv" in sig.parameters
+
+
+def test_final_eval_select_best_snapshot(tmp_path):
+    """--snapshot best picks the itr_N.pkl with the highest FRESH logged
+    eval return, skipping carried-forward (is_fresh=0) rows and epochs
+    without a saved snapshot."""
+    from s2p_tpu.cli.final_eval import select_best_snapshot
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rows = [
+        # epoch, return, fresh, has_snapshot
+        (-150, 10.0, 1, True),
+        (-140, 500.0, 1, False),   # best return but no snapshot on disk
+        (-130, 400.0, 1, True),    # ← expected pick
+        (-120, 450.0, 0, True),    # stale carried-forward eval: skip
+        (-110, 50.0, 1, True),
+    ]
+    with open(run / "progress.csv", "w") as f:
+        f.write("epoch,eval/Returns Mean,eval/is_fresh\n")
+        for e, r, fresh, _ in rows:
+            f.write(f"{e},{r},{fresh}\n")
+    for e, _, _, has in rows:
+        if has:
+            (run / f"itr_{e}.pkl").write_bytes(b"x")
+    picked = select_best_snapshot(str(run))
+    assert picked.endswith("itr_-130.pkl")
+
+
+def test_final_eval_select_best_without_is_fresh(tmp_path):
+    """Runs logged before the is_fresh column existed still work: every
+    row is eligible."""
+    from s2p_tpu.cli.final_eval import select_best_snapshot
+
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "progress.csv", "w") as f:
+        f.write("epoch,eval/Returns Mean\n")
+        f.write("-20,100.0\n-10,300.0\n0,200.0\n")
+    for e in (-20, -10, 0):
+        (run / f"itr_{e}.pkl").write_bytes(b"x")
+    assert select_best_snapshot(str(run)).endswith("itr_-10.pkl")

@@ -346,15 +346,47 @@ def test_gan_trainer_r1_and_d_cadence():
         d_every=2,
     )
     r1s, d_steps = [], []
-    for _ in range(4):
+    for _ in range(8):
         m = trainer.train_step(batch)
         r1s.append(float(m["d_r1"]))
         d_steps.append(int(trainer.d_state.step))
         assert np.isfinite(float(m["d_loss"]))
         assert np.isfinite(float(m["g_loss"]))
-    # g_state.step goes 0,1,2,3 during the 4 calls: R1 fires on even steps
-    # (interval 2) and those coincide with the D-update steps (d_every 2)
-    assert r1s[0] > 0.0 and r1s[2] > 0.0
-    assert r1s[1] == 0.0 and r1s[3] == 0.0
-    assert d_steps == [1, 1, 2, 2]  # D updated on steps 0 and 2 only
-    assert int(trainer.g_state.step) == 4
+    # D updates on g-steps 0,2,4,6 (d_every 2); the lazy-R1 schedule keys
+    # off the D step counter, so R1 fires every 2nd PERFORMED D update
+    # (g-steps 0 and 4) — not on every D update, and never on G-only steps
+    assert r1s[0] > 0.0 and r1s[4] > 0.0
+    assert all(r1s[i] == 0.0 for i in (1, 2, 3, 5, 6, 7))
+    assert d_steps == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert int(trainer.g_state.step) == 8
+
+
+@pytest.mark.slow
+def test_gan_trainer_r1_misaligned_cadence():
+    """d_every=2 with r1_interval=3 (2 does not divide 3): R1 must still
+    fire every 3rd performed D update at full strength, not every
+    lcm(3,2)=6 G-steps (the bug keying the schedule off g_state.step)."""
+    from s2p_tpu.gan.losses import GANLossConfig
+
+    rs = np.random.RandomState(3)
+    batch = dict(
+        prev_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+        state=rs.randn(4, STATE_DIM).astype(np.float32),
+        target_image=rs.randint(0, 255, (4, 64, 64, 3), dtype=np.uint8),
+    )
+    trainer = GANTrainer.create(
+        jax.random.PRNGKey(0), state_dim=STATE_DIM, image_size=64,
+        generator_kwargs=dict(ngf=8, state_embed_dim=16, mat_hidden=16,
+                              state_freqs=2),
+        discriminator_kwargs=dict(num_scales=1, ndf=8, n_layers=2),
+        use_perceptual=False,
+        loss_cfg=GANLossConfig(r1_gamma=1.0, r1_interval=3),
+        d_every=2,
+    )
+    r1s = []
+    for _ in range(14):
+        m = trainer.train_step(batch)
+        r1s.append(float(m["d_r1"]))
+    # D updates at g-steps 0,2,4,...; R1 on d-steps 0,3,6 → g-steps 0,6,12
+    fired = [i for i, v in enumerate(r1s) if v > 0.0]
+    assert fired == [0, 6, 12]

@@ -57,10 +57,39 @@ def test_step_collector_paths_and_steps():
     col = MdpStepCollector(env, RandomAgent(env.action_space))
     steps = col.collect_new_steps(4, 10, discard_incomplete_paths=False)
     assert len(steps) == 10
-    assert col.get_diagnostics()["num steps total"] == 10
-    # 10 steps with 4-step episodes → 2 complete paths
+    # reference semantics: lifetime step totals count KEPT paths only —
+    # 2 complete 4-step paths are in; the 2 in-progress steps are not
+    assert col.get_diagnostics()["num steps total"] == 8
     assert len(col.get_epoch_paths()) == 2
     assert all(len(p["actions"]) == 4 for p in col.get_epoch_paths())
+
+
+def test_step_collector_discard_keeps_capped_paths():
+    """Reference _handle_rollout_ending semantics: a path that finished by
+    hitting max_path_length has path_len == max_path_length and is KEPT
+    even under discard_incomplete_paths (only shorter non-terminal paths
+    would be dropped — unreachable from collect_one_step, as in the
+    reference). Lifetime totals count kept paths only."""
+    env = StubEnv(obs_dim=OBS, action_dim=ACT, max_episode_steps=10)
+    from s2p_tpu.samplers.agents import RandomAgent
+
+    # max_path_length=3 < the env's 10-step limit → paths finish via the
+    # length cap with done=False
+    col = MdpStepCollector(env, RandomAgent(env.action_space))
+    col.collect_new_steps(3, 7, discard_incomplete_paths=True)
+    assert len(col.get_epoch_paths()) == 2
+    assert col.get_diagnostics()["num steps total"] == 6
+    # the unreachable-from-collect branch still implements the reference
+    # contract: a short non-terminal partial fed to _finish_path is dropped
+    col._partial = {k: [v] for k, v in zip(
+        ("observations", "actions", "rewards", "next_observations",
+         "terminals", "dones", "agent_infos", "env_infos"),
+        (np.zeros(OBS), np.zeros(ACT), 0.0, np.zeros(OBS), False, False,
+         {}, {}),
+    )}
+    col._finish_path(3, discard_incomplete_paths=True)
+    assert len(col.get_epoch_paths()) == 2  # unchanged
+    assert col.get_diagnostics()["num steps total"] == 6
 
 
 def test_online_rl_loop_end_to_end(tmp_path):
