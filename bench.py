@@ -146,22 +146,26 @@ def main() -> None:
             jnp.bfloat16, minval=-1.0, maxval=1.0,
         )
 
+        # the frame stack is a jit OUTPUT (not reduced in-jit) so every
+        # config pays the same HBM materialization the real augment
+        # workload pays — summing inside the jit would let XLA elide the
+        # frame writes and flatter the multi-rollout cells
         @partial(jax.jit, static_argnums=(3,))
         def run_multi(params, ini, st, use_pallas):
             def one(_, inp):
                 i0, s = inp
                 frames = _fast_rollout_traced(gen, params, i0, s, use_pallas)
-                return (), frames.sum(dtype=jnp.float32)
-            _, sums = jax.lax.scan(one, (), (ini, st))
-            return sums.sum()
+                return (), frames
+            _, frames = jax.lax.scan(one, (), (ini, st))
+            return frames  # [R, T, B, H, W, C], materialized
 
         def run_once() -> float:
             if rolls == 1:
                 frames = generate_rollout(gen, params, ini[0], st[0],
                                           use_pallas=use_pallas)
-                return float(jax.device_get(frames.sum()))
-            return float(jax.device_get(
-                run_multi(params, ini, st, use_pallas)))
+            else:
+                frames = run_multi(params, ini, st, use_pallas)
+            return float(jax.device_get(frames.sum()))
 
         for _ in range(WARMUP_ITERS):
             run_once()
