@@ -97,9 +97,56 @@ def _probe_default_backend(timeout_s: float = 120.0) -> bool:
         return False
 
 
+# Self-maintaining chip-evidence record: after every successful on-chip
+# run the result is written here; when the relay is down and the bench
+# falls back to CPU, the record rides along in the JSON (clearly labeled
+# as a PRIOR measurement) so the driver-captured scoreboard artifact
+# never loses the chip evidence to an outage (round-3 postmortem: the
+# official BENCH_r03.json was a 9.18-fps CPU fallback while the real
+# 10.6k-fps chip number lived only in prose).
+CHIP_RECORD_PATH = "docs/BENCH_CHIP_LAST.json"
+
+
+def _load_chip_record() -> dict | None:
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        CHIP_RECORD_PATH)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _save_chip_record(result: dict) -> None:
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        CHIP_RECORD_PATH)
+    rec = {
+        "note": "Last successful ON-CHIP bench.py measurement. Written by "
+                "bench.py after every chip run; embedded (clearly labeled) "
+                "in the bench JSON when the TPU relay is down and the "
+                "benchmark must fall back to CPU, so the driver-captured "
+                "scoreboard artifact still carries the most recent chip "
+                "evidence with provenance.",
+        "measured_utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+    }
+    rec.update({k: v for k, v in result.items() if k != "baseline"})
+    try:
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=2)
+            f.write("\n")
+    except Exception:
+        pass
+
+
 def main() -> None:
     global BATCH, TIMED_ITERS, WARMUP_ITERS
+    on_fallback = False
     if not _probe_default_backend():
+        on_fallback = True
         jax.config.update("jax_platforms", "cpu")
         # the full config is a multi-hour job on one CPU core — shrink so
         # an honest (labeled) JSON line still comes out
@@ -254,7 +301,7 @@ def main() -> None:
     )
 
     torch_fps = bench_torch_twin()
-    print(json.dumps({
+    result = {
         "metric": "cheetah_64px_generated_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
@@ -309,7 +356,14 @@ def main() -> None:
             }
             if torch_fps else None
         ),
-    }))
+    }
+    if on_tpu:
+        _save_chip_record(result)
+    elif on_fallback:
+        rec = _load_chip_record()
+        if rec is not None:
+            result["last_chip_measurement"] = rec
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

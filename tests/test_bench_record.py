@@ -1,0 +1,53 @@
+"""The bench chip-evidence record (bench.py CHIP_RECORD_PATH).
+
+After every on-chip run bench.py writes its result JSON to
+docs/BENCH_CHIP_LAST.json; on a CPU fallback it embeds that record in the
+output under ``last_chip_measurement`` so the driver-captured scoreboard
+artifact never loses the chip evidence to a relay outage (round-3
+postmortem: BENCH_r03.json was a 9.18-fps CPU fallback while the real
+chip number lived only in prose)."""
+
+import importlib.util
+import json
+import os
+
+
+def _load_bench_module():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(root, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_chip_record_roundtrip(tmp_path, monkeypatch):
+    bench = _load_bench_module()
+    # point the record inside tmp_path (path is joined with bench.py's dir,
+    # so hand it an absolute path)
+    monkeypatch.setattr(
+        bench, "CHIP_RECORD_PATH", str(tmp_path / "rec.json"))
+    bench._save_chip_record(
+        {"metric": "m", "value": 123.0, "baseline": {"dropped": True}})
+    rec = bench._load_chip_record()
+    assert rec["value"] == 123.0
+    assert "measured_utc" in rec and "note" in rec
+    # the torch-twin baseline block is machine-local, not chip evidence
+    assert "baseline" not in rec
+
+
+def test_chip_record_missing_is_none(tmp_path, monkeypatch):
+    bench = _load_bench_module()
+    monkeypatch.setattr(
+        bench, "CHIP_RECORD_PATH", str(tmp_path / "absent.json"))
+    assert bench._load_chip_record() is None
+
+
+def test_committed_record_is_chip_provenance():
+    """The committed record must describe an on-chip measurement."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "docs", "BENCH_CHIP_LAST.json")) as f:
+        rec = json.load(f)
+    assert rec["unit"] == "frames/sec/chip"
+    assert "cpu" not in rec["backend"].lower()
+    assert rec["value"] > 1000  # a CPU fallback could never hit this
