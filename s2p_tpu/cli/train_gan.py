@@ -99,7 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def evaluate_generator(trainer, ds, n: int, batch_size: int = 64) -> dict:
     """Image-fidelity eval (FID/PSNR/SSIM spec: rebuttal.md:49-50) on the
-    first ``n`` pairs: one-step generation vs ground-truth next frames."""
+    first ``n`` pairs: one-step generation vs ground-truth next frames.
+
+    Multi-env datasets (``--dataroot a.hdf5,b.hdf5``) additionally get
+    per-env ``psnr_env{i}``/``ssim_env{i}`` columns over the first ``n``
+    pairs of EACH env, and the pooled metrics are computed over that
+    union — a head slice of the concatenated dataset would silently
+    measure only the first dataroot."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,19 +113,34 @@ def evaluate_generator(trainer, ds, n: int, batch_size: int = 64) -> dict:
     from s2p_tpu.gan.metrics import evaluate_pairs, compute_fid, vgg_fid_extractor
     from s2p_tpu.gan.training import _to_signed
 
-    n = min(n, len(ds))
-    fakes, reals = [], []
-    for lo in range(0, n, batch_size):
-        b = ds.eval_batch(lo, min(batch_size, n - lo))
-        prev = _to_signed(jnp.asarray(b["prev_image"]))
-        real = _to_signed(jnp.asarray(b["target_image"]))
-        fake = trainer.generate(jnp.asarray(b["state"]), prev)
-        fakes.append(np.asarray(jax.device_get(fake)))
-        reals.append(np.asarray(jax.device_get(real)))
+    def _gen_pairs(sub) -> tuple:
+        m = min(n, len(sub))
+        fakes, reals = [], []
+        for lo in range(0, m, batch_size):
+            b = sub.eval_batch(lo, min(batch_size, m - lo))
+            prev = _to_signed(jnp.asarray(b["prev_image"]))
+            real = _to_signed(jnp.asarray(b["target_image"]))
+            fake = trainer.generate(jnp.asarray(b["state"]), prev)
+            fakes.append(np.asarray(jax.device_get(fake)))
+            reals.append(np.asarray(jax.device_get(real)))
+        return fakes, reals
+
+    per_env = {}
+    if ds.n_envs > 1:
+        fakes, reals = [], []
+        for env in range(ds.n_envs):
+            f, r = _gen_pairs(ds.env_subset(env))
+            env_metrics = evaluate_pairs(np.concatenate(f), np.concatenate(r))
+            per_env.update({f"{k}_env{env}": v for k, v in env_metrics.items()})
+            fakes += f
+            reals += r
+    else:
+        fakes, reals = _gen_pairs(ds)
     fakes_np = np.concatenate(fakes)
     reals_np = np.concatenate(reals)
     out = evaluate_pairs(fakes_np, reals_np)
-    if n >= 128:  # Fréchet stats need a reasonable sample
+    out.update(per_env)
+    if len(fakes_np) >= 128:  # Fréchet stats need a reasonable sample
         extractor = vgg_fid_extractor(image_shape=fakes_np.shape[1:])
         out["fid_vgg"] = compute_fid(extractor, reals, fakes)
     return out
@@ -149,6 +170,11 @@ def main(argv: Optional[list] = None) -> str:
     H = ds.image_shape[0]
     logger.log(f"dataset: {len(ds)} pairs, image {ds.image_shape}, "
                f"state_dim {ds.state_dim}")
+    if ds.n_envs > 1:
+        for i, root in enumerate(p for p in args.dataroot.split(",") if p):
+            n_i = int((ds.env_ids == i).sum())
+            logger.log(f"  env{i} = {root} ({n_i} pairs; eval columns "
+                       f"psnr_env{i}/ssim_env{i})")
 
     mesh = make_mesh(MeshSpec(data=-1, model=1))
     n_data = mesh.shape["data"]

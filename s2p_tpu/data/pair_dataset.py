@@ -27,11 +27,16 @@ class S2PPairDataset:
         prev_images: np.ndarray,  # [N, H, W, C] uint8  (i_t)
         states: np.ndarray,  # [N, S] float32          (s_{t+1})
         target_images: np.ndarray,  # [N, H, W, C] uint8 (i_{t+1})
+        env_ids: Optional[np.ndarray] = None,  # [N] int32, 0-based env index
     ) -> None:
         assert len(prev_images) == len(states) == len(target_images)
         self.prev_images = np.ascontiguousarray(prev_images, np.uint8)
         self.states = np.ascontiguousarray(states, np.float32)
         self.target_images = np.ascontiguousarray(target_images, np.uint8)
+        if env_ids is None:
+            env_ids = np.zeros(len(states), np.int32)
+        assert len(env_ids) == len(states)
+        self.env_ids = np.ascontiguousarray(env_ids, np.int32)
 
     def __len__(self) -> int:
         return len(self.states)
@@ -73,6 +78,11 @@ class S2PPairDataset:
             np.concatenate([d.prev_images for d in datasets]),
             np.concatenate([pad(d.states) for d in datasets]),
             np.concatenate([d.target_images for d in datasets]),
+            # env id = position in the dataroot list (logged by the CLI),
+            # so multi-env eval can report per-env fidelity columns
+            np.concatenate([
+                np.full(len(d), i, np.int32) for i, d in enumerate(datasets)
+            ]),
         )
 
     @classmethod
@@ -118,4 +128,21 @@ class S2PPairDataset:
             prev_image=self.prev_images[sl],
             state=self.states[sl],
             target_image=self.target_images[sl],
+        )
+
+    @property
+    def n_envs(self) -> int:
+        return int(self.env_ids.max()) + 1 if len(self.env_ids) else 1
+
+    def env_subset(self, env_id: int, n: Optional[int] = None) -> "S2PPairDataset":
+        """The first ``n`` pairs belonging to ``env_id`` (all when n=None).
+        Used by multi-env eval: the concatenated dataset's head is entirely
+        the first dataroot, so a head slice alone would silently measure
+        one env."""
+        idx = np.flatnonzero(self.env_ids == env_id)
+        if n is not None:
+            idx = idx[:n]
+        return S2PPairDataset(
+            self.prev_images[idx], self.states[idx],
+            self.target_images[idx], self.env_ids[idx],
         )
