@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Copy the round-4 chip-queue outputs into their canonical committed
+# locations (docs/flagship2/*.csv — the committed copy takes priority in
+# docs/make_results_table.py) and regenerate docs/RESULTS_TABLE.md.
+# Safe to run repeatedly; stages that haven't produced output are skipped.
+cd /root/repo
+set -u
+
+copy_latest() {
+  local glob=$1 dst=$2
+  local hits
+  hits=$(ls -1 $glob 2>/dev/null | sort | tail -1)
+  if [ -n "$hits" ] && [ -f "$hits" ]; then
+    cp "$hits" "$dst"
+    echo "collected $hits -> $dst"
+  else
+    echo "skip (no output yet): $glob"
+  fi
+}
+
+copy_latest "runs/flagship2/cheetah2r1_gan_logs/*/*/progress.csv" \
+  docs/flagship2/cheetah2r1_gan_progress.csv
+copy_latest "runs/flagship2/multienv_gan_logs/*/*/progress.csv" \
+  docs/flagship2/multienv_gan_progress.csv
+copy_latest "runs/flagship2/rl_logs/cql_state_entropy_lagrange/*/progress.csv" \
+  docs/flagship2/cql_state_lagrange_progress.csv
+copy_latest "runs/flagship2/rl_logs/cql_image_entropy_lagrange/*/progress.csv" \
+  docs/flagship2/cql_image_lagrange_progress.csv
+copy_latest "runs/flagship2/walker_rl_logs/cql_image_walker/*/progress.csv" \
+  docs/flagship2/walker_cql_progress.csv
+
+python docs/make_results_table.py

@@ -43,4 +43,7 @@ run walker_final_eval_best env PYTHONPATH=/root/repo:/root/.axon_site \
   --env_name walker-walk --snapshot best --n_paths 10 \
   --fallen_threshold 100
 
+# 8. collect canonical CSVs into docs/ and regenerate the results table
+run collect_artifacts bash docs/flagship2/collect_artifacts.sh
+
 echo "=== [$(date -u +%H:%M:%S)] QUEUE COMPLETE ==="

@@ -57,7 +57,7 @@ def main(out_path="docs/RESULTS_TABLE.md"):
     j = lambda *p: osp.join(root, *p)
 
     lines = [
-        "# Results table (round 3) — reference Table-6 shape",
+        "# Results table (round 4) — reference Table-6 shape",
         "",
         "All numbers measured on one TPU v5e chip at the reference's full",
         "budgets (GAN 50k pairs x 30 epochs batch 16; SLAC 300k; RL",
@@ -83,6 +83,13 @@ def main(out_path="docs/RESULTS_TABLE.md"):
          "docs/flagship2/walker_gan_r1_progress.csv", None),
         ("cheetah GAN (entropy dataset, r3)",
          "docs/flagship2/cheetah2_gan_progress.csv", None),
+        # round-4 chip-queue outputs (rows appear once the runs land)
+        ("cheetah GAN (entropy dataset, +R1, r4)",
+         "docs/flagship2/cheetah2r1_gan_progress.csv",
+         "runs/flagship2/cheetah2r1_gan_logs"),
+        ("multi-env GAN (cheetah+walker, +R1, r4)",
+         "docs/flagship2/multienv_gan_progress.csv",
+         "runs/flagship2/multienv_gan_logs"),
     ]
     for label, committed, rundir in gan_sources:
         path = j(committed)
@@ -122,15 +129,37 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         ("walker IQL image (r3)", "docs/flagship2/walker_iql_progress.csv",
          "data policy ~281; paper: S2P 70.95-97.97 vs COMBO 57.7-76.4 "
          "(normalized)"),
+        # round-4 chip-queue outputs (rows appear once the runs land);
+        # committed copy takes priority, else the freshest run dir
+        ("cheetah CQL state (+Lagrange, r4)",
+         "docs/flagship2/cql_state_lagrange_progress.csv",
+         "data policy ~250; A/B vs the fixed min_q_weight=5 run's "
+         "monotone dataset-Q drift",
+         "runs/flagship2/rl_logs/cql_state_entropy_lagrange"),
+        ("cheetah CQL image (+Lagrange, r4)",
+         "docs/flagship2/cql_image_lagrange_progress.csv",
+         "data policy ~250; rerun of the r3 flagship with --with_lagrange "
+         "(late-collapse fix A/B)",
+         "runs/flagship2/rl_logs/cql_image_entropy_lagrange"),
+        ("walker CQL image (r4)",
+         "docs/flagship2/walker_cql_progress.csv",
+         "data policy ~281; completes the 2x2 env x algo matrix",
+         "runs/flagship2/walker_rl_logs/cql_image_walker"),
     ]
-    for label, rel, note in rl_sources:
+    for label, rel, note, *rundir in rl_sources:
         path = j(rel)
+        if not osp.exists(path) and rundir and rundir[0]:
+            import glob
+
+            hits = sorted(glob.glob(j(rundir[0], "**", "progress.csv"),
+                                    recursive=True))
+            path = hits[-1] if hits else path
         if not osp.exists(path):
             continue
         s = rl_summary(path)
         add(label, f"eval return (final / last-5 mean / best) — {note}",
             f"{s['final_ret']:.1f} / {s['last5_mean']:.1f} / "
-            f"{s['best_ret']:.1f}", rel)
+            f"{s['best_ret']:.1f}", osp.relpath(path, root))
 
     # final multi-path evals recorded by hand in this file:
     extra = j("docs", "final_evals.csv")
