@@ -7,10 +7,14 @@
 # no compound backgrounding (see round-3 ghost-process postmortem).
 cd /root/repo
 set -u
-DEADLINE=$(( $(date +%s) + 11*3600 ))
+HOURS=${1:-11}
+DEADLINE=$(( $(date +%s) + HOURS*3600 ))
 echo "[watch $(date -u +%H:%M:%S)] armed; probing every cycle until $(date -u -d @$DEADLINE +%H:%M:%S)"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  # Require a NON-CPU platform: if the axon plugin fails fast instead of
+  # blocking, jax falls back to CPU and a bare jax.devices() probe would
+  # "succeed" — launching every chip job onto this 1-core host.
+  if timeout 120 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" >/dev/null 2>&1; then
     echo "[watch $(date -u +%H:%M:%S)] backend UP — launching chip queue"
     bash docs/flagship2/run_chip_queue.sh
     echo "[watch $(date -u +%H:%M:%S)] chip queue finished"
