@@ -15,6 +15,10 @@ run() {
   else
     echo "=== [$(date -u +%H:%M:%S)] FAIL  $name (rc=$?) — continuing ==="
   fi
+  # collect after EVERY stage: runs/ is gitignored, docs/ is tracked —
+  # if the round ends mid-queue the driver still commits partial CSVs
+  bash docs/flagship2/collect_artifacts.sh \
+    >> runs/flagship2/collect_artifacts.log 2>&1 || true
 }
 
 # 1. bench refresh — the official scoreboard currently holds a CPU
