@@ -34,7 +34,10 @@ TIMED_ITERS = 5
 # a measured curve, not a caption): batch sizes × rollouts folded into one
 # dispatch. Only run on the chip — each cell is hours on 1 CPU core.
 SWEEP_BATCHES = (256, 1024, 4096)
-SWEEP_ROLLS = (1, 4)
+SWEEP_ROLLS = (1, 4, 16)
+# the frame stack is a materialized jit output [R,T,B,H,W,C]; skip cells
+# whose output alone would crowd the 16 GB HBM (4096x16 would be 12.9 GB)
+SWEEP_MAX_FRAME_BYTES = 6e9
 
 # reference GAN training/inference config: batchSize=16 (README.md:59)
 TORCH_BATCH = 16
@@ -235,6 +238,13 @@ def main() -> None:
         fps_vs_batch = []
         for b in SWEEP_BATCHES:
             for r in SWEEP_ROLLS:
+                frame_bytes = r * SEQ_LEN * b * IMAGE_SIZE * IMAGE_SIZE * 3 * 2
+                if frame_bytes > SWEEP_MAX_FRAME_BYTES:
+                    fps_vs_batch.append({
+                        "batch": b, "rollouts_per_dispatch": r,
+                        "fps": None, "skipped": "frame stack > HBM budget",
+                    })
+                    continue
                 if b == BATCH and r == 1:
                     cell_fps = fps  # already measured (headline config)
                 else:

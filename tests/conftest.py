@@ -25,6 +25,23 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA programs in one process;
+    letting them all stay live grew the process to the point where a
+    late compile (test_slac, ~87% in) segfaulted inside
+    backend_compile_and_load on the CPU backend (observed twice, round
+    4). Executables are never reused across modules, so freeing them
+    costs nothing and bounds the accumulation."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from s2p_tpu.parallel import MeshSpec, make_mesh

@@ -389,3 +389,39 @@ def test_cql_lagrange_dual_updates():
     m = tr_scan.train_many(num_steps=5, batch_size=8, buffer=buf)
     assert np.isfinite(float(jax.device_get(m["critic_loss"])))
     assert float(tr_scan.log_alpha_prime) != 0.0
+
+
+@pytest.mark.slow
+def test_cql_lagrange_dual_direction():
+    """The Lagrange dual responds in the correct DIRECTION to the
+    action-gap threshold (reference: cql_trainer.py:387-395): with the
+    threshold above the measured logsumexp gap, alpha' decays toward 0
+    (the dual de-activates the conservative penalty — the mechanism that
+    contains the dataset-Q drift of a fixed min_q_weight); with the
+    threshold below the gap, alpha' grows to crank the penalty.
+
+    This is the CPU-scale mechanism check behind the protocol-scale
+    Lagrange A/B (docs/flagship2/run_cql_state_lagrange.sh): the drift
+    itself only manifests over ~1e5 Bellman recursions of the penalty
+    and is measured on-chip, not here."""
+    from s2p_tpu.data.env_replay_buffer import EnvReplayBuffer
+    from s2p_tpu.envs import StubEnv
+
+    env = StubEnv(obs_dim=OBS, action_dim=ACT)
+    buf = EnvReplayBuffer(400, env)
+    rs = np.random.RandomState(0)
+    for _ in range(200):
+        buf.add_sample(rs.randn(OBS), np.tanh(rs.randn(ACT)), rs.rand(),
+                       0.0, rs.randn(OBS))
+
+    # measured gap at this scale is ~5 (logsumexp - dataset Q); bracket it
+    hi = _cql(policy_eval_start=0, with_lagrange=True, lagrange_thresh=50.0,
+              seed=0)
+    lo = _cql(policy_eval_start=0, with_lagrange=True, lagrange_thresh=0.1,
+              seed=0)
+    for tr in (hi, lo):
+        tr.train_many(num_steps=600, batch_size=32, buffer=buf)
+    lap_hi = float(jax.device_get(hi.log_alpha_prime))
+    lap_lo = float(jax.device_get(lo.log_alpha_prime))
+    assert lap_hi < -0.05, lap_hi  # gap < thresh: dual shuts the penalty off
+    assert lap_lo > 0.05, lap_lo   # gap > thresh: dual cranks the penalty
