@@ -24,6 +24,10 @@ copy_latest "runs/flagship2/multienv_gan_logs/*/*/progress.csv" \
   docs/flagship2/multienv_gan_progress.csv
 copy_latest "runs/flagship2/rl_logs/cql_state_entropy_lagrange/*/progress.csv" \
   docs/flagship2/cql_state_lagrange_progress.csv
+# CPU insurance arm (nice'd, launched while the relay was down): same
+# protocol as the chip A/B; collected separately and labeled CPU
+copy_latest "runs/flagship2/rl_logs/cql_state_entropy_lagrange_cpu/*/progress.csv" \
+  docs/flagship2/cql_state_lagrange_cpu_progress.csv
 copy_latest "runs/flagship2/rl_logs/cql_image_entropy_lagrange/*/progress.csv" \
   docs/flagship2/cql_image_lagrange_progress.csv
 copy_latest "runs/flagship2/walker_rl_logs/cql_image_walker/*/progress.csv" \

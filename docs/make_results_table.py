@@ -136,6 +136,12 @@ def main(out_path="docs/RESULTS_TABLE.md"):
          "data policy ~250; A/B vs the fixed min_q_weight=5 run's "
          "monotone dataset-Q drift",
          "runs/flagship2/rl_logs/cql_state_entropy_lagrange"),
+        ("cheetah CQL state (+Lagrange, CPU insurance arm, r4)",
+         "docs/flagship2/cql_state_lagrange_cpu_progress.csv",
+         "data policy ~250; full protocol cadence on host CPU (nice'd, "
+         "launched during the relay outage) — compare trainer/q1_pred "
+         "epoch-by-epoch vs the fixed-weight chip run's +164 -> -65 drift",
+         "runs/flagship2/rl_logs/cql_state_entropy_lagrange_cpu"),
         ("cheetah CQL image (+Lagrange, r4)",
          "docs/flagship2/cql_image_lagrange_progress.csv",
          "data policy ~250; rerun of the r3 flagship with --with_lagrange "
