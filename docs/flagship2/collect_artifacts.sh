@@ -34,3 +34,4 @@ copy_latest "runs/flagship2/walker_rl_logs/cql_image_walker/*/progress.csv" \
   docs/flagship2/walker_cql_progress.csv
 
 python docs/make_results_table.py
+python docs/compare_lagrange.py --out docs/LAGRANGE_AB.md >/dev/null || true

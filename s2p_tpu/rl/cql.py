@@ -314,6 +314,13 @@ class CQLTrainer:
             new_target, target_q,
         )
         metrics = dict(critic_loss=critic_loss, **caux, **paux)
+        if self.with_lagrange:
+            # reference logs the dual under --with_lagrange
+            # (cql_trainer.py:681 'Alpha_prime'): its trajectory is the
+            # A/B evidence that the dual contains the dataset-Q drift
+            metrics["alpha_prime"] = jnp.clip(
+                jnp.exp(log_alpha_prime), 0.0, 1e6
+            )
         return (policy_state, critic_state, target_q, log_alpha,
                 alpha_opt_state, log_alpha_prime, alpha_prime_opt_state, metrics)
 
