@@ -57,14 +57,30 @@ def select_best_snapshot(run_dir: str) -> str:
     return best[2]
 
 
+def resolve_snapshot(run_dir: str, snapshot: str) -> str:
+    """Resolve ``--snapshot`` to a file: 'best' → highest fresh logged
+    eval, 'final' → params.pkl (the final-epoch params), else a
+    filename/glob under ``run_dir``."""
+    if snapshot == "best":
+        return select_best_snapshot(run_dir)
+    pattern = "params.pkl" if snapshot == "final" else snapshot
+    hits = glob.glob(f"{run_dir}/{pattern}")
+    if not hits:
+        raise FileNotFoundError(
+            f"no snapshot matching {pattern!r} under {run_dir}"
+        )
+    return hits[0]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_dir", required=True)
     ap.add_argument("--env_name", default="cheetah-run")
     ap.add_argument("--snapshot", default="params.pkl",
-                    help="snapshot filename/glob under run_dir, or 'best' "
-                         "to pick the itr_N.pkl with the highest fresh "
-                         "logged eval return in progress.csv")
+                    help="snapshot filename/glob under run_dir, 'final' "
+                         "(alias for params.pkl — the final-epoch params), "
+                         "or 'best' to pick the itr_N.pkl with the highest "
+                         "fresh logged eval return in progress.csv")
     ap.add_argument("--n_paths", type=int, default=5)
     ap.add_argument("--image_size", type=int, default=100)
     ap.add_argument("--seed", type=int, default=100)
@@ -81,10 +97,7 @@ def main(argv=None):
     from s2p_tpu.samplers import MdpPathCollector, PolicyAgent
     from s2p_tpu.slac import SlacAlgorithm
 
-    if args.snapshot == "best":
-        path = select_best_snapshot(args.run_dir)
-    else:
-        path = glob.glob(f"{args.run_dir}/{args.snapshot}")[0]
+    path = resolve_snapshot(args.run_dir, args.snapshot)
     with open(path, "rb") as f:
         snap = pickle.load(f)
 

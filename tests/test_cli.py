@@ -172,3 +172,21 @@ def test_final_eval_select_best_without_is_fresh(tmp_path):
     for e in (-20, -10, 0):
         (run / f"itr_{e}.pkl").write_bytes(b"x")
     assert select_best_snapshot(str(run)).endswith("itr_-10.pkl")
+
+
+def test_final_eval_resolve_snapshot_aliases(tmp_path):
+    """--snapshot 'final' is an alias for params.pkl; unknown patterns
+    raise instead of IndexError (the queue's final-eval stages pass
+    'final' literally)."""
+    import pytest
+
+    from s2p_tpu.cli.final_eval import resolve_snapshot
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "params.pkl").write_bytes(b"x")
+    (run / "itr_-10.pkl").write_bytes(b"x")
+    assert resolve_snapshot(str(run), "final").endswith("params.pkl")
+    assert resolve_snapshot(str(run), "itr_*.pkl").endswith("itr_-10.pkl")
+    with pytest.raises(FileNotFoundError):
+        resolve_snapshot(str(run), "nope.pkl")
