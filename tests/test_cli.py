@@ -190,3 +190,16 @@ def test_final_eval_resolve_snapshot_aliases(tmp_path):
     assert resolve_snapshot(str(run), "itr_*.pkl").endswith("itr_-10.pkl")
     with pytest.raises(FileNotFoundError):
         resolve_snapshot(str(run), "nope.pkl")
+
+
+def test_train_gan_r1_default_on():
+    """R1 defaults ON since round 4 (no-R1 is known-degrading on 2/3
+    datasets: walker collapses outright, cheetah decays after epoch 25,
+    while +R1 beats the no-R1 peak at final epoch — docs/E2E_RESULTS.md
+    round 4). --r1_gamma 0 reproduces the reference's exact protocol."""
+    from s2p_tpu.cli.train_gan import build_parser
+
+    args = build_parser().parse_args(
+        ["--dataroot", "x.hdf5", "--env_type", "cheetah"])
+    assert args.r1_gamma == 1.0
+    assert args.r1_interval == 16  # lazy-R1 cadence unchanged
