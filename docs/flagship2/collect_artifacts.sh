@@ -20,6 +20,8 @@ copy_latest() {
 
 copy_latest "runs/flagship2/cheetah2r1_gan_logs/*/*/progress.csv" \
   docs/flagship2/cheetah2r1_gan_progress.csv
+copy_latest "runs/flagship2/walker_r1_gan_logs/*/*/progress.csv" \
+  docs/flagship2/walker_r1_gan_progress.csv
 copy_latest "runs/flagship2/multienv_gan_logs/*/*/progress.csv" \
   docs/flagship2/multienv_gan_progress.csv
 copy_latest "runs/flagship2/rl_logs/cql_state_entropy_lagrange/*/progress.csv" \
