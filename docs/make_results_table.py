@@ -42,8 +42,11 @@ def gan_summary(path):
 def rl_summary(path):
     with open(path) as f:
         rows = list(csv.DictReader(f))
-    fresh = [r for r in rows if r.get("eval/is_fresh", "1") == "1"]
+    fresh = [r for r in rows if r.get("eval/is_fresh", "1") == "1"
+             and r.get("eval/Average Returns") not in (None, "", "nan")]
     rets = [float(r["eval/Average Returns"]) for r in fresh]
+    if not rets:  # a run that just started logging has no eval rows yet
+        return None
     n = min(5, len(rets))
     return {
         "final_ret": rets[-1],
@@ -166,6 +169,8 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         if not osp.exists(path):
             continue
         s = rl_summary(path)
+        if s is None:
+            continue
         add(label, f"eval return (final / last-5 mean / best) — {note}",
             f"{s['final_ret']:.1f} / {s['last5_mean']:.1f} / "
             f"{s['best_ret']:.1f}", osp.relpath(path, root))
