@@ -19,6 +19,14 @@ import os.path as osp
 ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 FIXED = "docs/flagship2/cql_state_entropy_progress.csv"
+# Fixed-arm rerun on the round-4 REGENERATED dataset (session-8 queue
+# stage 8). When it has run long enough to show the drift regime
+# (>=100 epochs), it replaces the r3 fixed arm so the A/B is
+# same-dataset; until then the r3 protocol run stays the baseline.
+FIXED_R4_CANDIDATES = [
+    "docs/flagship2/cql_state_fixed_r4_progress.csv",
+    "runs/flagship2/rl_logs/cql_state_entropy_fixed_r4/*/progress.csv",
+]
 LAGRANGE_CANDIDATES = [
     # chip A/B (queue stage 3) and the CPU insurance arm, run dirs and
     # collected copies; the MOST-EPOCHS candidate wins (a 6-epoch chip
@@ -37,11 +45,11 @@ def load(path):
     return {int(float(r["epoch"])): r for r in rows}
 
 
-def pick_lagrange():
+def _most_rows(patterns):
     best = None  # (n_rows, mtime, path)
     import os
 
-    for pat in LAGRANGE_CANDIDATES:
+    for pat in patterns:
         for path in glob.glob(osp.join(ROOT, pat)):
             try:
                 with open(path) as f:
@@ -51,7 +59,21 @@ def pick_lagrange():
                 continue
             if best is None or cand[:2] > best[:2]:
                 best = cand
+    return best
+
+
+def pick_lagrange():
+    best = _most_rows(LAGRANGE_CANDIDATES)
     return best[2] if best else None
+
+
+def pick_fixed():
+    """Prefer the same-dataset (regenerated) fixed arm once it is deep
+    enough to show the late-drift regime; else the committed r3 run."""
+    r4 = _most_rows(FIXED_R4_CANDIDATES)
+    if r4 and r4[0] >= 100:
+        return r4[2], True
+    return osp.join(ROOT, FIXED), False
 
 
 def fmt(row, key, nd=1):
@@ -66,7 +88,9 @@ def main():
                     help="also write the table as markdown to this path")
     args = ap.parse_args()
 
-    fixed = load(osp.join(ROOT, FIXED))
+    fixed_path, same_dataset = pick_fixed()
+    fixed = load(fixed_path)
+    fixed_src = osp.relpath(fixed_path, ROOT)
     lag_path = pick_lagrange()
     if lag_path is None:
         print("no Lagrange-arm CSV found yet (chip queue stage 3 or the "
@@ -106,8 +130,9 @@ def main():
             "## Verdict",
             "",
             f"Final-25-epoch dataset q1_pred: fixed arm mean {f_q[0]:.1f} "
-            f"(range {f_q[1]:.1f}..{f_q[2]:.1f}, having drifted from +164 "
-            f"peak) vs Lagrange arm mean {l_q[0]:.1f} "
+            f"(range {f_q[1]:.1f}..{f_q[2]:.1f}"
+            + ("" if same_dataset else ", having drifted from +164 peak")
+            + f") vs Lagrange arm mean {l_q[0]:.1f} "
             f"(range {l_q[1]:.1f}..{l_q[2]:.1f})."
             + (f" Dual settled at alpha' ~= {l_a[0]:.2f} "
                "(penalty relaxed once the action-gap fell below "
@@ -124,17 +149,21 @@ def main():
              "**Inconclusive** — the Lagrange arm's Q stats do not clearly "
              "dominate the fixed arm's; see the table."),
             "",
-            "Caveat: the Lagrange arm ran on the round-4 regenerated "
-            "dataset (same seeded collection protocol; statistically "
-            "equivalent, not bit-identical to round 3's — see "
-            "docs/ROUND4_NOTES.md session 5).",
+            ("Both arms ran on round-4 regenerated datasets (same-dataset "
+             "A/B)." if same_dataset else
+             "Caveat: the Lagrange arm ran on the round-4 regenerated "
+             "dataset (same seeded collection protocol; statistically "
+             "equivalent, not bit-identical to round 3's — see "
+             "docs/ROUND4_NOTES.md session 5)."),
             "",
         ]
 
     lines = [
         f"# CQL-Lagrange A/B (state leg) — fixed arm vs {backend}",
         "",
-        f"Fixed arm: `{FIXED}` (min_q_weight=5, chip, round 3).",
+        f"Fixed arm: `{fixed_src}` (min_q_weight=5"
+        + (", regenerated dataset — same-dataset A/B, round 4)."
+           if same_dataset else ", chip, round 3)."),
         f"Lagrange arm: `{src}` (--with_lagrange --lagrange_thresh 10).",
         "",
         *verdict,

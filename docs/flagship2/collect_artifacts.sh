@@ -32,6 +32,10 @@ copy_latest "runs/flagship2/rl_logs/cql_state_entropy_lagrange_cpu/*/progress.cs
   docs/flagship2/cql_state_lagrange_cpu_progress.csv
 copy_latest "runs/flagship2/rl_logs/cql_image_entropy_lagrange/*/progress.csv" \
   docs/flagship2/cql_image_lagrange_progress.csv
+# fixed-arm rerun on the REGENERATED dataset (session-8 queue stage 8):
+# makes the Lagrange A/B same-dataset instead of cross-generation
+copy_latest "runs/flagship2/rl_logs/cql_state_entropy_fixed_r4/*/progress.csv" \
+  docs/flagship2/cql_state_fixed_r4_progress.csv
 copy_latest "runs/flagship2/walker_rl_logs/cql_image_walker/*/progress.csv" \
   docs/flagship2/walker_cql_progress.csv
 

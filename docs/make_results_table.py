@@ -153,6 +153,12 @@ def main(out_path="docs/RESULTS_TABLE.md"):
          "data policy ~250; rerun of the r3 flagship with --with_lagrange "
          "(late-collapse fix A/B)",
          "runs/flagship2/rl_logs/cql_image_entropy_lagrange"),
+        ("cheetah CQL state (fixed min_q_weight=5 rerun, regenerated "
+         "dataset, r4)",
+         "docs/flagship2/cql_state_fixed_r4_progress.csv",
+         "data policy ~250; same-dataset fixed arm for the Lagrange A/B "
+         "(the r3 fixed arm ran on the pre-wipe dataset generation)",
+         "runs/flagship2/rl_logs/cql_state_entropy_fixed_r4"),
         ("walker CQL image (r4)",
          "docs/flagship2/walker_cql_progress.csv",
          "data policy ~281; completes the 2x2 env x algo matrix",
