@@ -122,9 +122,9 @@ def main():
     f_q = tail_stats(fixed, "trainer/q1_pred")
     l_q = tail_stats(lag, "trainer/q1_pred")
     l_a = tail_stats(lag, "trainer/alpha_prime", n=10)
-    if f_q and l_q and len(lag) >= 50:
-        f_fin, f_best = ret_stats(fixed)
-        l_fin, l_best = ret_stats(lag)
+    f_fin, f_best = ret_stats(fixed)
+    l_fin, l_best = ret_stats(lag)
+    if f_q and l_q and len(lag) >= 50 and None not in (f_fin, l_fin):
         bounded = abs(l_q[0]) < abs(f_q[0]) and l_q[1] > f_q[1]
         verdict = [
             "## Verdict",

@@ -41,7 +41,7 @@ run walker_cql bash docs/flagship2/run_walker_cql.sh
 run multienv_gan bash docs/flagship2/run_multienv_gan.sh 10
 
 # 7. framework-feature final evals (best snapshot + fallen rate)
-WALKER_RUN=$(ls -d runs/flagship2/walker_rl_logs/iql_image_walker_flagship/iql_* | head -1)
+WALKER_RUN=$(ls -dt runs/flagship2/walker_rl_logs/iql_image_walker_flagship/iql_* | head -1)
 run walker_final_eval_best env PYTHONPATH=/root/repo:/root/.axon_site \
   python -m s2p_tpu.cli.final_eval --run_dir "$WALKER_RUN" \
   --env_name walker-walk --snapshot best --n_paths 10 \

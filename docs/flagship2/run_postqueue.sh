@@ -1,4 +1,8 @@
 #!/usr/bin/env bash
+# SUPERSEDED (round 4, session 10): watched the dead regen queue and
+# its run() helper always returns 0 so `run ... && touch .done` marks
+# failed stages done. Kept for history only — relaunch work with
+# run_session9_queue.sh / run_postqueue3.sh instead.
 # Post-queue chaser (round 4, session 7). Waits for run_regen_queue.sh
 # (pid file /tmp/regen_queue.pid, else polls the log for the COMPLETE
 # marker) to release the chip, then uses the remaining chip time for:

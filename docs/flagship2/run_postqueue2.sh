@@ -1,4 +1,8 @@
 #!/usr/bin/env bash
+# SUPERSEDED (round 4, session 10): watched the dead regen queue and
+# its run() helper always returns 0 so `run ... && touch .done` marks
+# failed stages done. Kept for history only — relaunch work with
+# run_session9_queue.sh / run_postqueue3.sh instead.
 # Post-queue chaser v2 (round 4, session 7). Supersedes run_postqueue.sh
 # (disarmed): the walker CQL chip job wedged at epoch -46 on a hung
 # relay RPC (process futex-blocked, CPU clock frozen, relay itself alive
@@ -47,7 +51,7 @@ if [ ! -e runs/flagship2/.done_walker_cql_resume ]; then
 fi
 
 # 2. final evals on the completed walker CQL run (chip; quick)
-WK_CQL_RUN=$(ls -d runs/flagship2/walker_rl_logs/cql_image_walker/cql_* 2>/dev/null | head -1)
+WK_CQL_RUN=$(ls -dt runs/flagship2/walker_rl_logs/cql_image_walker/cql_* 2>/dev/null | head -1)
 if [ -n "$WK_CQL_RUN" ]; then
   run walker_cql_final_eval_best python -m s2p_tpu.cli.final_eval \
     --run_dir "$WK_CQL_RUN" --env_name walker-walk --snapshot best \

@@ -183,7 +183,7 @@ skip_or_run multienv_gan runs/flagship2/multienv_checkpoints/multienv_10.pkl \
   --resume_dir runs/flagship2/multienv_gan_ckpt --eval_num 256
 
 # framework-feature final evals on this round's walker CQL run
-WK_CQL_RUN=$(ls -d runs/flagship2/walker_rl_logs/cql_image_walker/cql_* 2>/dev/null | head -1)
+WK_CQL_RUN=$(ls -dt runs/flagship2/walker_rl_logs/cql_image_walker/cql_* 2>/dev/null | head -1)
 if [ -n "$WK_CQL_RUN" ]; then
   run walker_cql_final_eval_best python -m s2p_tpu.cli.final_eval \
     --run_dir "$WK_CQL_RUN" --env_name walker-walk --snapshot best \

@@ -253,30 +253,45 @@ def main(argv: Optional[list] = None) -> str:
 
     ckpt_mgr = None
     start_epoch = 1
+    best_psnr, best_epoch = float("-inf"), None
     if args.resume_dir:
         from s2p_tpu.utils.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(args.resume_dir, max_to_keep=2)
         latest = ckpt_mgr.latest_step()
         if latest is not None:
-            state = ckpt_mgr.restore(
-                dict(g=trainer.g_state.params, g_opt=trainer.g_state.opt_state,
-                     d=trainer.d_state.params, d_opt=trainer.d_state.opt_state),
-                latest,
+            template = dict(
+                g=trainer.g_state.params, g_opt=trainer.g_state.opt_state,
+                d=trainer.d_state.params, d_opt=trainer.d_state.opt_state,
+                best=np.zeros(2, np.float64),
             )
+            try:
+                state = ckpt_mgr.restore(template, latest)
+            except Exception:
+                # legacy checkpoint written before best-PSNR tracking was
+                # part of the resume state
+                template.pop("best")
+                state = ckpt_mgr.restore(template, latest)
             trainer.g_state = trainer.g_state.replace(
                 params=state["g"], opt_state=state["g_opt"], step=latest
             )
             trainer.d_state = trainer.d_state.replace(
                 params=state["d"], opt_state=state["d_opt"], step=latest
             )
+            if "best" in state:
+                bp, be = np.asarray(state["best"]).tolist()
+                if be >= 0:
+                    best_psnr, best_epoch = float(bp), int(be)
             start_epoch = latest + 1
-            logger.log(f"resumed from {args.resume_dir} at epoch {latest}")
+            logger.log(
+                f"resumed from {args.resume_dir} at epoch {latest}"
+                + (f" (best PSNR {best_psnr:.2f} @ epoch {best_epoch})"
+                   if best_epoch is not None else "")
+            )
 
     rng = np.random.RandomState(args.seed + start_epoch)
     step = 0
     last_eval = None
-    best_psnr, best_epoch = float("-inf"), None
     t_start = time.time()
 
     device_data = None
@@ -362,8 +377,14 @@ def main(argv: Optional[list] = None) -> str:
                            f"→ {args.env_type}_best.pkl")
         if last_eval is not None:
             if not args.no_save_best:
-                logger.record_tabular("eval/best_psnr", best_psnr)
-                logger.record_tabular("eval/best_epoch", best_epoch)
+                # numeric even before any finite-PSNR eval (NaN evals leave
+                # best unset): the frozen-header csv must stay parseable
+                logger.record_tabular(
+                    "eval/best_psnr",
+                    best_psnr if best_epoch is not None else float("nan"))
+                logger.record_tabular(
+                    "eval/best_epoch",
+                    best_epoch if best_epoch is not None else -1)
             # record every epoch so the frozen csv header includes the eval
             # columns from the first dump (logging.py key-freeze contract)
             logger.record_dict(last_eval, prefix="eval/")
@@ -372,10 +393,17 @@ def main(argv: Optional[list] = None) -> str:
         if epoch % args.save_epoch_freq == 0 or epoch == args.niter:
             _save_checkpoint(args, epoch, trainer, params_to_state_dict)
         if ckpt_mgr is not None:
-            ckpt_mgr.save(epoch, jax.device_get(dict(
+            state = jax.device_get(dict(
                 g=trainer.g_state.params, g_opt=trainer.g_state.opt_state,
                 d=trainer.d_state.params, d_opt=trainer.d_state.opt_state,
-            )))
+            ))
+            # carry the best-PSNR tracker through resume: a stall-kill +
+            # relaunch must not let a worse later eval overwrite {env}_best
+            state["best"] = np.array(
+                [best_psnr, -1.0 if best_epoch is None else float(best_epoch)],
+                np.float64,
+            )
+            ckpt_mgr.save(epoch, state)
         if args.max_steps and step >= args.max_steps:
             break
     if ckpt_mgr is not None:

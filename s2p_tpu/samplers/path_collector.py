@@ -32,13 +32,12 @@ class EpochPathLog:
         self.lifetime_steps = 0
         self.lifetime_paths = 0
 
-    def record(self, path: dict, count_steps: bool = True) -> None:
+    def record(self, path: dict) -> None:
         """Lifetime step totals count kept paths only (reference
         semantics for both collectors)."""
         self.paths.append(path)
         self.lifetime_paths += 1
-        if count_steps:
-            self.lifetime_steps += len(path["actions"])
+        self.lifetime_steps += len(path["actions"])
 
     def clear_epoch(self) -> None:
         self.paths = deque(maxlen=self.capacity)

@@ -124,6 +124,45 @@ def test_train_gan_resume(tiny_hdf5, tmp_path):
     assert "resumed from" in text and "at epoch 1" in text
 
 
+@pytest.mark.slow
+def test_train_gan_resume_keeps_best_tracker(tiny_hdf5, tmp_path, monkeypatch):
+    """The best-PSNR tracker is part of the orbax resume state: after a
+    stall-kill + relaunch, a WORSE post-resume eval must not overwrite
+    {env}_best.pkl (stage 5 of the chip queue prefers walker_best.pkl as
+    the GAN checkpoint for walker CQL — a reset tracker would silently
+    train RL on a degraded generator)."""
+    import csv
+
+    import s2p_tpu.cli.train_gan as tg
+
+    common = [
+        "--dataroot", tiny_hdf5, "--batchSize", "8", "--ngf", "8",
+        "--ndf", "8", "--num_D", "1", "--n_layers_D", "2", "--no_vgg_loss",
+        "--eval_interval", "1", "--eval_num", "8", "--max_steps", "1",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--resume_dir", str(tmp_path / "orbax"),
+    ]
+    tg.main(common + ["--niter", "1"])
+    best_path = tmp_path / "ckpt" / "cheetah_best.pkl"
+    before = best_path.read_bytes()
+
+    # resumed run: force the epoch-2 eval to be terrible — pre-fix the
+    # tracker reset to -inf and -100 > -inf overwrote the best export
+    monkeypatch.setattr(
+        tg, "evaluate_generator",
+        lambda trainer, ds, n, batch_size=64: {"psnr": -100.0, "ssim": 0.0})
+    log_dir = tg.main(common + ["--niter", "2"])
+
+    with open(osp.join(log_dir, "debug.log")) as f:
+        text = f.read()
+    assert "resumed from" in text and "best PSNR" in text
+    assert best_path.read_bytes() == before, "worse eval overwrote best.pkl"
+    with open(osp.join(log_dir, "progress.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and float(rows[-1]["eval/best_epoch"]) == 1.0
+
+
 def test_final_eval_cli_parser():
     """final_eval: multi-path deterministic snapshot evaluation CLI."""
     from s2p_tpu.cli.final_eval import main as fe_main
