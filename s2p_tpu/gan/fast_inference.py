@@ -58,25 +58,89 @@ def _dense(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
     return x @ p["kernel"] + p["bias"]
 
 
+def _const_map_terms(kernel: jax.Array) -> jax.Array:
+    """Stack the 9 border-correction kernel reductions of a [3,3,S,F]
+    kernel into ONE [S, 9, F] operand so the constant-map shortcut is a
+    single matmul instead of nine (chip probe: the 9 small dispatches +
+    8 scatter-adds cost ~9% of the fast step). Order: full-sum, top,
+    bottom, left, right, then the 4 corner taps."""
+    return jnp.stack([
+        kernel.sum((0, 1)),
+        kernel[0].sum(0), kernel[2].sum(0),
+        kernel[:, 0].sum(0), kernel[:, 2].sum(0),
+        kernel[0, 0], kernel[0, 2], kernel[2, 0], kernel[2, 2],
+    ], axis=1)  # [S, 9, F]
+
+
+def _const_map_apply(e: jax.Array, terms: jax.Array, H: int, W: int) -> jax.Array:
+    """Assemble the constant-map conv output from the 9 stacked terms.
+
+    Border corrections are expressed as broadcast mask arithmetic (one
+    fused elementwise pass XLA folds into the consumer) instead of the
+    previous 8 sequential ``.at[].add`` updates, each of which re-wrote
+    the whole [B,H,W,F] buffer."""
+    B = e.shape[0]
+    t = jnp.einsum("bs,snf->bnf", e, terms)  # [B, 9, F]
+    full, top, bot, left, right, c00, c02, c20, c22 = (
+        t[:, i, None, None, :] for i in range(9)
+    )
+    ii = jnp.arange(H, dtype=e.dtype)[None, :, None, None]
+    jj = jnp.arange(W, dtype=e.dtype)[None, None, :, None]
+    ym0, ymH = (ii == 0).astype(e.dtype), (ii == H - 1).astype(e.dtype)
+    xm0, xmW = (jj == 0).astype(e.dtype), (jj == W - 1).astype(e.dtype)
+    # interior = full kernel sum; each border row/col misses one tap row/
+    # col of the zero-padded conv; corners subtracted their overlap twice
+    return (
+        jnp.broadcast_to(full, (B, H, W, full.shape[-1]))
+        - ym0 * top - ymH * bot - xm0 * left - xmW * right
+        + (ym0 * xm0) * c00 + (ym0 * xmW) * c02
+        + (ymH * xm0) * c20 + (ymH * xmW) * c22
+    )
+
+
 def conv_const_map(e: jax.Array, kernel: jax.Array, H: int, W: int) -> jax.Array:
     """3×3 zero-padded conv applied to ``broadcast(e) → [B,H,W,S]``,
     computed without materializing the constant map. kernel [3,3,S,F]."""
-    B = e.shape[0]
-    full = e @ kernel.sum((0, 1))  # [B, F]
-    top = e @ kernel[0].sum(0)
-    bot = e @ kernel[2].sum(0)
-    left = e @ kernel[:, 0].sum(0)
-    right = e @ kernel[:, 2].sum(0)
-    out = jnp.broadcast_to(full[:, None, None, :], (B, H, W, full.shape[-1]))
-    out = out.at[:, 0, :, :].add(-top[:, None, :])
-    out = out.at[:, H - 1, :, :].add(-bot[:, None, :])
-    out = out.at[:, :, 0, :].add(-left[:, None, :])
-    out = out.at[:, :, W - 1, :].add(-right[:, None, :])
-    # corners subtracted their overlap tap twice — add it back once
-    out = out.at[:, 0, 0, :].add(e @ kernel[0, 0])
-    out = out.at[:, 0, W - 1, :].add(e @ kernel[0, 2])
-    out = out.at[:, H - 1, 0, :].add(e @ kernel[2, 0])
-    out = out.at[:, H - 1, W - 1, :].add(e @ kernel[2, 2])
+    return _const_map_apply(e, _const_map_terms(kernel), H, W)
+
+
+def fuse_fast_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Precompute the fused operands the fast path consumes, once,
+    OUTSIDE the rollout scan (returns a copy; the original leaves stay
+    so the flax apply/convert paths are unaffected):
+
+    - ``mlp_gb``: mlp_gamma ‖ mlp_beta concatenated along output
+      channels — the modulation convs are ~49% of the fast step's time
+      (docs/flagship2/perf_probe.py, chip), and fusing them reads ``h``
+      once and doubles the matmul width for the MXU.
+    - ``cmap_terms`` [S, 9, F]: the constant-map kernel reductions.
+    - ``k_img``: the image half of mlp_shared, pre-sliced.
+
+    ``_mat_norm_fast`` falls back to on-the-fly fusion when these keys
+    are absent, so unfused param pytrees remain drop-in."""
+    def fuse_norm(n: Dict[str, Any], S: int) -> Dict[str, Any]:
+        k = n["mlp_shared"]["kernel"]
+        return dict(
+            n,
+            mlp_gb=dict(
+                kernel=jnp.concatenate(
+                    [n["mlp_gamma"]["kernel"], n["mlp_beta"]["kernel"]], -1),
+                bias=jnp.concatenate(
+                    [n["mlp_gamma"]["bias"], n["mlp_beta"]["bias"]], -1),
+            ),
+            cmap_terms=_const_map_terms(k[:, :, :S, :]),
+            k_img=k[:, :, S:, :],
+        )
+
+    S = params["state_fc1"]["kernel"].shape[-1]
+    out = dict(params)
+    for name, block in params.items():
+        if not name.startswith("block_"):
+            continue
+        out[name] = dict(block)
+        for nname in ("norm_0", "norm_1", "norm_s"):
+            if nname in block:
+                out[name][nname] = fuse_norm(block[nname], S)
     return out
 
 
@@ -90,17 +154,30 @@ def _mat_norm_fast(
     final norm+modulation through the fused VMEM kernel
     (gan/pallas_kernels.py; shapes it can't tile fall back to plain)."""
     S = e.shape[-1]
-    k = p["mlp_shared"]["kernel"]  # [3, 3, S + C_img, hidden]
     H, W = x.shape[1], x.shape[2]
-    h_state = conv_const_map(e, k[:, :, :S, :], H, W)
+    if "cmap_terms" in p:  # pre-fused by fuse_fast_params
+        h_state = _const_map_apply(e, p["cmap_terms"], H, W)
+        k_img = p["k_img"]
+    else:
+        k = p["mlp_shared"]["kernel"]  # [3, 3, S + C_img, hidden]
+        h_state = conv_const_map(e, k[:, :, :S, :], H, W)
+        k_img = k[:, :, S:, :]
     h_img = jax.lax.conv_general_dilated(
-        image_feat, k[:, :, S:, :], window_strides=(1, 1),
+        image_feat, k_img, window_strides=(1, 1),
         padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     h = jax.nn.relu(h_state + h_img + p["mlp_shared"]["bias"])
-    gamma = _conv(h, p["mlp_gamma"])
-    beta = _conv(h, p["mlp_beta"])
+    if "mlp_gb" in p:
+        gb = _conv(h, p["mlp_gb"])
+    else:
+        gb = _conv(h, dict(
+            kernel=jnp.concatenate(
+                [p["mlp_gamma"]["kernel"], p["mlp_beta"]["kernel"]], -1),
+            bias=jnp.concatenate(
+                [p["mlp_gamma"]["bias"], p["mlp_beta"]["bias"]], -1),
+        ))
+    gamma, beta = jnp.split(gb, 2, axis=-1)
     if use_pallas:
         from s2p_tpu.gan.pallas_kernels import fused_mat_norm
 
@@ -169,7 +246,11 @@ def fast_apply(
 @partial(jax.jit, static_argnums=(0, 4))
 def _fast_rollout(gen, variables, init_image, states, use_pallas=False):
     """seq_len autoregressive generation with the fast apply
-    (gan/rollout.py::generate_rollout contract: states [T, B, S])."""
+    (gan/rollout.py::generate_rollout contract: states [T, B, S]).
+
+    Params are pre-fused ONCE here, outside the scan, so the per-step
+    body never re-concatenates loop-invariant kernels."""
+    variables = dict(variables, params=fuse_fast_params(variables["params"]))
 
     def step(img, s):
         nxt = fast_apply(gen, variables, s, img, use_pallas)

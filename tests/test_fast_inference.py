@@ -56,6 +56,21 @@ def test_fast_apply_matches_module(size):
 
 
 @pytest.mark.slow
+def test_fused_params_match_unfused():
+    """fuse_fast_params (pre-concatenated gamma‖beta conv + stacked
+    constant-map terms) computes the same dot products — pixels match
+    the unfused fast apply tightly."""
+    from s2p_tpu.gan.fast_inference import fuse_fast_params
+
+    gen, variables, s, img = _setup(64)
+    ref = fast_apply(gen, variables, s, img)
+    fused = dict(variables, params=fuse_fast_params(variables["params"]))
+    out = fast_apply(gen, fused, s, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_fast_rollout_matches_scan_rollout():
     gen, variables, s, img = _setup(64)
     rs = np.random.RandomState(2)
