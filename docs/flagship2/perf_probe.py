@@ -160,8 +160,12 @@ def main():
                 "no_encoder", "convs_only"]
     results = {}
     for name in variants:
+        params_v = params
         if name == "full":
+            # production path: params pre-fused outside the scan, as in
+            # _fast_rollout (gamma||beta conv + stacked const-map terms)
             apply_fn = partial(fi.fast_apply, use_pallas=False)
+            params_v = {"params": fi.fuse_fast_params(params["params"])}
         else:
             apply_fn = make_variant(name)
 
@@ -180,7 +184,7 @@ def main():
 
         def run_once():
             return float(jax.device_get(
-                run_multi(params["params"], ini, st).sum()))
+                run_multi(params_v["params"], ini, st).sum()))
 
         try:
             run_once()  # compile + warmup
