@@ -38,6 +38,11 @@ copy_latest "runs/flagship2/rl_logs/cql_state_entropy_fixed_r4/*/progress.csv" \
   docs/flagship2/cql_state_fixed_r4_progress.csv
 copy_latest "runs/flagship2/walker_rl_logs/cql_image_walker/*/progress.csv" \
   docs/flagship2/walker_cql_progress.csv
+# session-11 postqueue4: walker IQL rerun on the regenerated dataset
+# (same-dataset IQL/CQL pair; r3's walker_iql_progress.csv is kept as
+# the round-3 flagship artifact and NOT overwritten)
+copy_latest "runs/flagship2/walker_rl_logs/iql_image_walker_flagship/*/progress.csv" \
+  docs/flagship2/walker_iql_r4_progress.csv
 
 python docs/make_results_table.py
 python docs/compare_lagrange.py --out docs/LAGRANGE_AB.md >/dev/null || true

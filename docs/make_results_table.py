@@ -163,6 +163,11 @@ def main(out_path="docs/RESULTS_TABLE.md"):
          "docs/flagship2/walker_cql_progress.csv",
          "data policy ~281; completes the 2x2 env x algo matrix",
          "runs/flagship2/walker_rl_logs/cql_image_walker"),
+        ("walker IQL image (regenerated dataset, r4)",
+         "docs/flagship2/walker_iql_r4_progress.csv",
+         "data policy ~281; rerun of the r3 flagship on this round's "
+         "dataset generation — same-dataset pair with the walker CQL row",
+         "runs/flagship2/walker_rl_logs/iql_image_walker_flagship"),
     ]
     for label, rel, note, *rundir in rl_sources:
         path = j(rel)
