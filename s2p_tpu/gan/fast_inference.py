@@ -72,22 +72,22 @@ def _const_map_terms(kernel: jax.Array) -> jax.Array:
     ], axis=1)  # [S, 9, F]
 
 
-def _const_map_apply(e: jax.Array, terms: jax.Array, H: int, W: int) -> jax.Array:
-    """Assemble the constant-map conv output from the 9 stacked terms.
+def _const_map_from_t(t: jax.Array, H: int, W: int) -> jax.Array:
+    """Assemble the constant-map conv output from the per-batch reduced
+    terms ``t = e @ terms`` [B, 9, F].
 
     Border corrections are expressed as broadcast mask arithmetic (one
     fused elementwise pass XLA folds into the consumer) instead of the
     previous 8 sequential ``.at[].add`` updates, each of which re-wrote
     the whole [B,H,W,F] buffer."""
-    B = e.shape[0]
-    t = jnp.einsum("bs,snf->bnf", e, terms)  # [B, 9, F]
+    B = t.shape[0]
     full, top, bot, left, right, c00, c02, c20, c22 = (
         t[:, i, None, None, :] for i in range(9)
     )
-    ii = jnp.arange(H, dtype=e.dtype)[None, :, None, None]
-    jj = jnp.arange(W, dtype=e.dtype)[None, None, :, None]
-    ym0, ymH = (ii == 0).astype(e.dtype), (ii == H - 1).astype(e.dtype)
-    xm0, xmW = (jj == 0).astype(e.dtype), (jj == W - 1).astype(e.dtype)
+    ii = jnp.arange(H, dtype=t.dtype)[None, :, None, None]
+    jj = jnp.arange(W, dtype=t.dtype)[None, None, :, None]
+    ym0, ymH = (ii == 0).astype(t.dtype), (ii == H - 1).astype(t.dtype)
+    xm0, xmW = (jj == 0).astype(t.dtype), (jj == W - 1).astype(t.dtype)
     # interior = full kernel sum; each border row/col misses one tap row/
     # col of the zero-padded conv; corners subtracted their overlap twice
     return (
@@ -96,6 +96,11 @@ def _const_map_apply(e: jax.Array, terms: jax.Array, H: int, W: int) -> jax.Arra
         + (ym0 * xm0) * c00 + (ym0 * xmW) * c02
         + (ymH * xm0) * c20 + (ymH * xmW) * c22
     )
+
+
+def _const_map_apply(e: jax.Array, terms: jax.Array, H: int, W: int) -> jax.Array:
+    """Constant-map conv output from the stacked kernel terms [S, 9, F]."""
+    return _const_map_from_t(jnp.einsum("bs,snf->bnf", e, terms), H, W)
 
 
 def conv_const_map(e: jax.Array, kernel: jax.Array, H: int, W: int) -> jax.Array:
@@ -115,9 +120,21 @@ def fuse_fast_params(params: Dict[str, Any]) -> Dict[str, Any]:
       once and doubles the matmul width for the MXU.
     - ``cmap_terms`` [S, 9, F]: the constant-map kernel reductions.
     - ``k_img``: the image half of mlp_shared, pre-sliced.
+    - per block, ``shared_cat``: the 2–3 norms of a block all condition on
+      the SAME ``(e, image_feat)`` and their modulation inputs are
+      independent of the block's dataflow, so their mlp_shared image-half
+      convs concatenate into ONE conv (image_feat read once, 2–3× matmul
+      width for the MXU); the per-norm hidden ``h`` maps are slices.
+    - top-level ``cmap_terms_all`` [S, 9, ΣF]: every norm's constant-map
+      terms across ALL blocks, concatenated in (block index, norm_0,
+      norm_1, norm_s) order — the state-side reduction ``e @ terms`` is
+      resolution-independent, so the whole network's state modulation
+      collapses to ONE [B,S]×[S,9·ΣF] matmul per generator step
+      (``fast_apply`` slices it per block).
 
-    ``_mat_norm_fast`` falls back to on-the-fly fusion when these keys
-    are absent, so unfused param pytrees remain drop-in."""
+    ``_mat_norm_fast``/``_res_block_fast`` fall back to on-the-fly
+    fusion when these keys are absent, so unfused param pytrees remain
+    drop-in."""
     def fuse_norm(n: Dict[str, Any], S: int) -> Dict[str, Any]:
         k = n["mlp_shared"]["kernel"]
         return dict(
@@ -134,13 +151,25 @@ def fuse_fast_params(params: Dict[str, Any]) -> Dict[str, Any]:
 
     S = params["state_fc1"]["kernel"].shape[-1]
     out = dict(params)
-    for name, block in params.items():
-        if not name.startswith("block_"):
-            continue
+    all_terms: List[jax.Array] = []
+    i = 0
+    while f"block_{i}" in params:
+        name = f"block_{i}"
+        block = params[name]
         out[name] = dict(block)
-        for nname in ("norm_0", "norm_1", "norm_s"):
-            if nname in block:
-                out[name][nname] = fuse_norm(block[nname], S)
+        norms = [n for n in ("norm_0", "norm_1", "norm_s") if n in block]
+        for nname in norms:
+            out[name][nname] = fuse_norm(block[nname], S)
+        fused = [out[name][n] for n in norms]
+        out[name]["shared_cat"] = dict(
+            kernel=jnp.concatenate([f["k_img"] for f in fused], -1),
+            bias=jnp.concatenate(
+                [block[n]["mlp_shared"]["bias"] for n in norms], -1),
+        )
+        all_terms.extend(f["cmap_terms"] for f in fused)
+        i += 1
+    if all_terms:
+        out["cmap_terms_all"] = jnp.concatenate(all_terms, -1)
     return out
 
 
@@ -168,6 +197,14 @@ def _mat_norm_fast(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     h = jax.nn.relu(h_state + h_img + p["mlp_shared"]["bias"])
+    return _modulate(x, h, p, use_pallas)
+
+
+def _modulate(
+    x: jax.Array, h: jax.Array, p: Dict[str, Any], use_pallas: bool = False,
+) -> jax.Array:
+    """γ/β conv over the norm's hidden map ``h``, then the modulated
+    instance norm (the tail of MATNorm after mlp_shared+relu)."""
     if "mlp_gb" in p:
         gb = _conv(h, p["mlp_gb"])
     else:
@@ -185,18 +222,47 @@ def _mat_norm_fast(
     return instance_norm(x) * (1.0 + gamma) + beta
 
 
+def _block_hidden_maps(
+    image_feat: jax.Array, t_blk: jax.Array, p: Dict[str, Any],
+    norms: List[str],
+) -> List[jax.Array]:
+    """All of a block's MATNorm hidden maps in one pass: ONE conv over
+    ``image_feat`` (kernels concatenated across the block's norms) plus
+    the pre-reduced state terms ``t_blk`` (sliced from the global
+    ``e @ cmap_terms_all`` matmul), split back per norm."""
+    sc = p["shared_cat"]
+    H, W = image_feat.shape[1], image_feat.shape[2]
+    h_img = jax.lax.conv_general_dilated(
+        image_feat, sc["kernel"], window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h_state = _const_map_from_t(t_blk, H, W)
+    h = jax.nn.relu(h_state + h_img + sc["bias"])
+    widths = [p[n]["mlp_shared"]["bias"].shape[0] for n in norms]
+    splits = [sum(widths[: i + 1]) for i in range(len(widths) - 1)]
+    return jnp.split(h, splits, axis=-1)
+
+
 def _res_block_fast(
     x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any],
-    use_pallas: bool = False,
+    use_pallas: bool = False, t_blk: jax.Array | None = None,
 ) -> jax.Array:
-    h = _mat_norm_fast(x, e, image_feat, p["norm_0"], use_pallas)
+    if t_blk is not None and "shared_cat" in p:
+        norms = [n for n in ("norm_0", "norm_1", "norm_s") if n in p]
+        hmaps = dict(zip(norms, _block_hidden_maps(image_feat, t_blk, p, norms)))
+        mat_norm = lambda x, n: _modulate(x, hmaps[n], p[n], use_pallas)
+    else:
+        mat_norm = lambda x, n: _mat_norm_fast(x, e, image_feat, p[n],
+                                               use_pallas)
+    h = mat_norm(x, "norm_0")
     h = jax.nn.leaky_relu(h, 0.2)
     h = _conv(h, p["conv_0"])
-    h = _mat_norm_fast(h, e, image_feat, p["norm_1"], use_pallas)
+    h = mat_norm(h, "norm_1")
     h = jax.nn.leaky_relu(h, 0.2)
     h = _conv(h, p["conv_1"])
     if "conv_s" in p:
-        s = _mat_norm_fast(x, e, image_feat, p["norm_s"], use_pallas)
+        s = mat_norm(x, "norm_s")
         s = _conv(s, p["conv_s"])
     else:
         s = x
@@ -232,9 +298,22 @@ def fast_apply(
     x = _dense(e, p["seed_fc"])
     x = x.reshape(x.shape[0], hw0, hw0, -1)
 
+    # the whole network's state-side modulation reduction in ONE matmul
+    # (resolution-independent; sliced per block below)
+    t_all = (
+        jnp.einsum("bs,snf->bnf", e, p["cmap_terms_all"])
+        if "cmap_terms_all" in p else None
+    )
+
+    off = 0
     for i, size in enumerate(sizes):
-        x = _res_block_fast(x, e, enc_by_size[size], p[f"block_{i}"],
-                            use_pallas)
+        blk = p[f"block_{i}"]
+        t_blk = None
+        if t_all is not None and "shared_cat" in blk:
+            w = blk["shared_cat"]["kernel"].shape[-1]
+            t_blk = jax.lax.slice_in_dim(t_all, off, off + w, axis=2)
+            off += w
+        x = _res_block_fast(x, e, enc_by_size[size], blk, use_pallas, t_blk)
         if i < len(sizes) - 1:
             x = upsample_nearest(x, sizes[i + 1])
 

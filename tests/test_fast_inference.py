@@ -56,15 +56,21 @@ def test_fast_apply_matches_module(size):
 
 
 @pytest.mark.slow
-def test_fused_params_match_unfused():
-    """fuse_fast_params (pre-concatenated gamma‖beta conv + stacked
-    constant-map terms) computes the same dot products — pixels match
-    the unfused fast apply tightly."""
+@pytest.mark.parametrize("size", [64, 100])
+def test_fused_params_match_unfused(size):
+    """fuse_fast_params (gamma‖beta conv fusion + per-block shared-conv
+    concatenation + the global cmap_terms_all state matmul) computes the
+    same dot products — pixels match the unfused fast apply tightly."""
     from s2p_tpu.gan.fast_inference import fuse_fast_params
 
-    gen, variables, s, img = _setup(64)
+    gen, variables, s, img = _setup(size)
     ref = fast_apply(gen, variables, s, img)
-    fused = dict(variables, params=fuse_fast_params(variables["params"]))
+    fused_params = fuse_fast_params(variables["params"])
+    assert "cmap_terms_all" in fused_params
+    assert all(
+        "shared_cat" in fused_params[f"block_{i}"] for i in range(5)
+    )
+    fused = dict(variables, params=fused_params)
     out = fast_apply(gen, fused, s, img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
