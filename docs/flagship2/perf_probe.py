@@ -156,16 +156,34 @@ def main():
         (args.rolls, args.batch, IMAGE_SIZE, IMAGE_SIZE, 3),
         jnp.bfloat16, minval=-1.0, maxval=1.0)
 
-    variants = ["full", "no_border", "no_inorm", "no_gamma_beta",
-                "no_encoder", "convs_only"]
+    variants = ["full", "fused_v1", "unfused", "no_border", "no_inorm",
+                "no_gamma_beta", "no_encoder", "convs_only"]
     results = {}
     for name in variants:
         params_v = params
         if name == "full":
             # production path: params pre-fused outside the scan, as in
-            # _fast_rollout (gamma||beta conv + stacked const-map terms)
+            # _fast_rollout (gamma||beta conv + stacked const-map terms +
+            # per-block shared-conv concat + global cmap_terms_all matmul)
             apply_fn = partial(fi.fast_apply, use_pallas=False)
             params_v = {"params": fi.fuse_fast_params(params["params"])}
+        elif name == "fused_v1":
+            # session-10 fusion ONLY (gamma||beta conv + stacked terms),
+            # i.e. the config behind the 12,661-12,863 fps chip records —
+            # strip the session-12 block-level keys so fast_apply takes
+            # its per-norm fallback; the full-vs-fused_v1 delta
+            # attributes the second fusion round
+            apply_fn = partial(fi.fast_apply, use_pallas=False)
+            fp = fi.fuse_fast_params(params["params"])
+            fp.pop("cmap_terms_all", None)
+            fp = {k: ({kk: vv for kk, vv in v.items() if kk != "shared_cat"}
+                      if k.startswith("block_") else v)
+                  for k, v in fp.items()}
+            params_v = {"params": fp}
+        elif name == "unfused":
+            # raw params through fast_apply (on-the-fly per-step fusion);
+            # unfused-vs-full is the total pre-fusion win
+            apply_fn = partial(fi.fast_apply, use_pallas=False)
         else:
             apply_fn = make_variant(name)
 
