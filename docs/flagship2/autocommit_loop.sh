@@ -12,7 +12,11 @@
 cd /root/repo
 while :; do
   sleep 900
-  git add docs/ BENCH_r*.json 2>/dev/null
+  # artifact file types ONLY — never .py/.sh (those are hand-edited
+  # sources under docs/ that must land in purposeful commits)
+  git add 'docs/*.csv' 'docs/*.json' 'docs/**/*.csv' 'docs/**/*.json' \
+    'docs/RESULTS_TABLE.md' 'docs/LAGRANGE_AB.md' 'docs/E2E_RESULTS.md' \
+    'docs/final_evals.csv' BENCH_r*.json 2>/dev/null
   if ! git diff --cached --quiet; then
     git commit -m "$(cat <<'EOF'
 Artifact snapshot: collected partial run CSVs / bench records (autocommit)
