@@ -192,11 +192,14 @@ def main() -> None:
     # block_until_ready is not a reliable sync on every backend (the axon
     # relay dispatches asynchronously) — force materialization via a scalar
     # device_get instead.
-    def measure(use_pallas: bool, batch: int = None, rolls: int = 1) -> float:
+    def measure(use_pallas: bool, batch: int = None, rolls: int = 1,
+                block_fusion: bool = True) -> float:
         """frames/sec at the given batch with ``rolls`` independent
         rollouts folded into one dispatch (outer lax.scan; amortizes the
         per-dispatch host→device cost the same way the augment generator
-        chunks its 50k transitions)."""
+        chunks its 50k transitions). ``block_fusion=False`` drops the
+        block-level concat fusion (3× smaller peak hidden-map footprint)
+        for cells that OOM at very large batch."""
         b = batch or BATCH
         st = jax.random.normal(
             jax.random.PRNGKey(1), (rolls, SEQ_LEN, b, STATE_DIM),
@@ -211,11 +214,12 @@ def main() -> None:
         # config pays the same HBM materialization the real augment
         # workload pays — summing inside the jit would let XLA elide the
         # frame writes and flatter the multi-rollout cells
-        @partial(jax.jit, static_argnums=(3,))
-        def run_multi(params, ini, st, use_pallas):
+        @partial(jax.jit, static_argnums=(3, 4))
+        def run_multi(params, ini, st, use_pallas, block_fusion):
             def one(_, inp):
                 i0, s = inp
-                frames = _fast_rollout_traced(gen, params, i0, s, use_pallas)
+                frames = _fast_rollout_traced(gen, params, i0, s, use_pallas,
+                                              block_fusion)
                 return (), frames
             _, frames = jax.lax.scan(one, (), (ini, st))
             return frames  # [R, T, B, H, W, C], materialized
@@ -223,9 +227,10 @@ def main() -> None:
         def run_once() -> float:
             if rolls == 1:
                 frames = generate_rollout(gen, params, ini[0], st[0],
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas,
+                                          block_fusion=block_fusion)
             else:
-                frames = run_multi(params, ini, st, use_pallas)
+                frames = run_multi(params, ini, st, use_pallas, block_fusion)
             return float(jax.device_get(frames.sum()))
 
         for _ in range(WARMUP_ITERS):
@@ -273,22 +278,35 @@ def main() -> None:
                         "fps": None, "skipped": "frame stack > HBM budget",
                     })
                     continue
+                cell_path = None
                 if b == BATCH and r == 1:
                     cell_fps = fps  # already measured (headline config)
                 else:
                     try:
                         cell_fps = measure(use_pallas=use_pallas, batch=b,
                                            rolls=r)
-                    except Exception as e:  # e.g. OOM at batch 4096
-                        fps_vs_batch.append({
-                            "batch": b, "rollouts_per_dispatch": r,
-                            "fps": None, "error": type(e).__name__,
-                        })
-                        continue
-                fps_vs_batch.append({
+                    except Exception:
+                        # the block-level concat fusion triples the peak
+                        # hidden-map footprint and OOMs at batch 4096 —
+                        # retry the cell with per-norm fusion only, labeled
+                        try:
+                            cell_fps = measure(use_pallas=use_pallas,
+                                               batch=b, rolls=r,
+                                               block_fusion=False)
+                            cell_path = "per-norm fusion (block-level OOM)"
+                        except Exception as e:
+                            fps_vs_batch.append({
+                                "batch": b, "rollouts_per_dispatch": r,
+                                "fps": None, "error": type(e).__name__,
+                            })
+                            continue
+                cell = {
                     "batch": b, "rollouts_per_dispatch": r,
                     "fps": round(cell_fps, 2),
-                })
+                }
+                if cell_path:
+                    cell["path"] = cell_path
+                fps_vs_batch.append(cell)
                 if cell_fps > best_cfg["fps"]:
                     best_cfg = {"batch": b, "rollouts_per_dispatch": r,
                                 "fps": cell_fps}
@@ -304,7 +322,8 @@ def main() -> None:
     try:
         from s2p_tpu.gan.fast_inference import _fast_rollout
 
-        cost = (_fast_rollout.lower(gen, params, init, states, use_pallas)
+        cost = (_fast_rollout.lower(gen, params, init, states, use_pallas,
+                                    True)
                 .compile().cost_analysis())
         if isinstance(cost, (list, tuple)):  # older jax returns [dict]
             cost = cost[0] if cost else None

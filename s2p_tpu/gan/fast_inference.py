@@ -109,7 +109,8 @@ def conv_const_map(e: jax.Array, kernel: jax.Array, H: int, W: int) -> jax.Array
     return _const_map_apply(e, _const_map_terms(kernel), H, W)
 
 
-def fuse_fast_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def fuse_fast_params(params: Dict[str, Any],
+                     block_level: bool = True) -> Dict[str, Any]:
     """Precompute the fused operands the fast path consumes, once,
     OUTSIDE the rollout scan (returns a copy; the original leaves stay
     so the flax apply/convert paths are unaffected):
@@ -134,7 +135,14 @@ def fuse_fast_params(params: Dict[str, Any]) -> Dict[str, Any]:
 
     ``_mat_norm_fast``/``_res_block_fast`` fall back to on-the-fly
     fusion when these keys are absent, so unfused param pytrees remain
-    drop-in."""
+    drop-in.
+
+    ``block_level=False`` keeps only the per-norm fusions (mlp_gb,
+    cmap_terms, k_img) and skips shared_cat/cmap_terms_all: the block-
+    level concat materializes a hidden map 2–3× wider per block (~3×128
+    ch at the base resolution), which exhausts HBM at very large batch
+    (observed: batch 4096 on v5e). Memory-pressure callers trade the
+    ~+3% block-fusion win for a 3× smaller peak hidden-map footprint."""
     def fuse_norm(n: Dict[str, Any], S: int) -> Dict[str, Any]:
         k = n["mlp_shared"]["kernel"]
         return dict(
@@ -160,13 +168,14 @@ def fuse_fast_params(params: Dict[str, Any]) -> Dict[str, Any]:
         norms = [n for n in ("norm_0", "norm_1", "norm_s") if n in block]
         for nname in norms:
             out[name][nname] = fuse_norm(block[nname], S)
-        fused = [out[name][n] for n in norms]
-        out[name]["shared_cat"] = dict(
-            kernel=jnp.concatenate([f["k_img"] for f in fused], -1),
-            bias=jnp.concatenate(
-                [block[n]["mlp_shared"]["bias"] for n in norms], -1),
-        )
-        all_terms.extend(f["cmap_terms"] for f in fused)
+        if block_level:
+            fused = [out[name][n] for n in norms]
+            out[name]["shared_cat"] = dict(
+                kernel=jnp.concatenate([f["k_img"] for f in fused], -1),
+                bias=jnp.concatenate(
+                    [block[n]["mlp_shared"]["bias"] for n in norms], -1),
+            )
+            all_terms.extend(f["cmap_terms"] for f in fused)
         i += 1
     if all_terms:
         out["cmap_terms_all"] = jnp.concatenate(all_terms, -1)
@@ -322,14 +331,18 @@ def fast_apply(
     return jnp.tanh(x)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _fast_rollout(gen, variables, init_image, states, use_pallas=False):
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _fast_rollout(gen, variables, init_image, states, use_pallas=False,
+                  block_fusion=True):
     """seq_len autoregressive generation with the fast apply
     (gan/rollout.py::generate_rollout contract: states [T, B, S]).
 
     Params are pre-fused ONCE here, outside the scan, so the per-step
-    body never re-concatenates loop-invariant kernels."""
-    variables = dict(variables, params=fuse_fast_params(variables["params"]))
+    body never re-concatenates loop-invariant kernels. ``block_fusion``
+    toggles the block-level concat fusion (see fuse_fast_params): turn
+    it off under HBM pressure at very large batch."""
+    variables = dict(variables, params=fuse_fast_params(
+        variables["params"], block_level=block_fusion))
 
     def step(img, s):
         nxt = fast_apply(gen, variables, s, img, use_pallas)
@@ -340,5 +353,7 @@ def _fast_rollout(gen, variables, init_image, states, use_pallas=False):
 
 
 def generate_rollout_fast(gen, variables, init_image, states,
-                          use_pallas: bool = False):
-    return _fast_rollout(gen, variables, init_image, states, use_pallas)
+                          use_pallas: bool = False,
+                          block_fusion: bool = True):
+    return _fast_rollout(gen, variables, init_image, states, use_pallas,
+                         block_fusion)

@@ -76,6 +76,33 @@ def test_fused_params_match_unfused(size):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_per_norm_fusion_fallback_matches():
+    """block_level=False (the large-batch HBM-pressure fallback the bench
+    sweep retries OOM cells with) keeps only the per-norm fusions and must
+    produce the same pixels as the block-level fused path."""
+    from s2p_tpu.gan.fast_inference import fuse_fast_params
+
+    gen, variables, s, img = _setup(64)
+    ref = fast_apply(
+        gen, dict(variables, params=fuse_fast_params(variables["params"])),
+        s, img)
+    pn_params = fuse_fast_params(variables["params"], block_level=False)
+    assert "cmap_terms_all" not in pn_params
+    assert all("shared_cat" not in pn_params[f"block_{i}"] for i in range(5))
+    assert "cmap_terms" in pn_params["block_0"]["norm_0"]  # per-norm kept
+    out = fast_apply(gen, dict(variables, params=pn_params), s, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and through the public rollout entry point
+    rs = np.random.RandomState(3)
+    states = jnp.asarray(rs.randn(2, 2, STATE_DIM).astype(np.float32))
+    r_fused = generate_rollout_fast(gen, variables, img, states)
+    r_pn = generate_rollout_fast(gen, variables, img, states,
+                                 block_fusion=False)
+    np.testing.assert_allclose(np.asarray(r_pn), np.asarray(r_fused),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_fast_rollout_matches_scan_rollout():
     gen, variables, s, img = _setup(64)
