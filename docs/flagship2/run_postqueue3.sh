@@ -18,11 +18,11 @@ set -u
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
-QLOG=runs/flagship2/session8_queue.log
+QLOG=${QLOG:-runs/flagship2/session8_queue.log}
 QPID=$(cat /tmp/queue.pid 2>/dev/null || echo 0)
 echo "=== [$(date -u +%H:%M:%S)] post-queue chaser v3 armed (queue pid $QPID) ==="
 while :; do
-  grep -q "SESSION-8 QUEUE COMPLETE" "$QLOG" 2>/dev/null && break
+  grep -q "QUEUE COMPLETE" "$QLOG" 2>/dev/null && break
   if [ "$QPID" != 0 ] && ! ps -p "$QPID" >/dev/null 2>&1; then
     echo "=== queue process gone without COMPLETE marker — proceeding ==="
     break
