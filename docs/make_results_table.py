@@ -24,6 +24,8 @@ def gan_rows(path):
 
 def gan_summary(path):
     rows = gan_rows(path)
+    if not rows:  # a run that just started logging has a header-only CSV
+        return None
     final = rows[-1]
     peak = max(rows, key=lambda r: float(r["eval/psnr"]))
     out = {
@@ -108,6 +110,8 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         if not osp.exists(path):
             continue
         s = gan_summary(path)
+        if s is None:
+            continue
         add(label, "PSNR/SSIM @ final epoch " + s["final_epoch"],
             f"{s['final_psnr']:.2f} / {s['final_ssim']:.3f}",
             osp.relpath(path, root))
