@@ -219,12 +219,25 @@ def main():
 
     full = results.get("full")
     if isinstance(full, (int, float)):
+        # fused_v1/unfused ADD work relative to full (they are the
+        # slower pre-fusion baselines, not ablations), so they belong in
+        # a speedup table, not the removed-work attribution — the
+        # "negative ~ noise" reading would mislabel the fusion win.
+        baselines = ("fused_v1", "unfused")
         attrib = {k: (round(100 * (1 - full / v), 1)
                       if isinstance(v, (int, float)) and v > 0 else None)
-                  for k, v in results.items() if k != "full"}
+                  for k, v in results.items()
+                  if k != "full" and k not in baselines}
         print(json.dumps({"pct_step_time_attributed_to_removed_work": attrib,
                           "note": "1 - full_fps/variant_fps per ablation; "
                                   "negative ~ noise"}), flush=True)
+        speedups = {k: (round(full / v, 3)
+                        if isinstance(v, (int, float)) and v > 0 else None)
+                    for k, v in results.items() if k in baselines}
+        if speedups:
+            print(json.dumps({"fusion_speedup_vs_baseline": speedups,
+                              "note": "full_fps / baseline_fps; >1 means "
+                                      "the fusion rounds help"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ x = jnp.ones((128, 128))
     LOG=runs/flagship2/slac_walker_retry.log
     ok=0
     for try in 1 2 3; do
+      touch "$LOG"  # reset the idle clock — O_APPEND open won't update mtime
       python -u slac_pretrain.py \
         --dataset runs/flagship/walker_image_dataset_stack3_imgsize_100.hdf5 \
         --save_dir runs/flagship/walker_slac_model --scan_chunk 1000 \

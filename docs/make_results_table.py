@@ -38,6 +38,13 @@ def gan_summary(path):
     }
     if "eval/fid_vgg" in final:
         out["final_fid_vgg"] = float(final["eval/fid_vgg"])
+    # multi-env runs log per-env eval columns (VERDICT r3 #6 wants the
+    # per-env values comparable to the single-env runs)
+    for i in (0, 1):
+        k = f"eval/psnr_env{i}"
+        if k in final and final[k] not in ("", "nan"):
+            out[f"final_psnr_env{i}"] = float(final[k])
+            out[f"final_ssim_env{i}"] = float(final[f"eval/ssim_env{i}"])
     return out
 
 
@@ -121,6 +128,12 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         if "final_fid_vgg" in s:
             add(label, "FID(VGG, see caveat)",
                 f"{s['final_fid_vgg']:.2e}", osp.relpath(path, root))
+        for i, env in ((0, "cheetah"), (1, "walker")):
+            if f"final_psnr_env{i}" in s:
+                add(label, f"PSNR/SSIM @ final epoch, {env} half",
+                    f"{s[f'final_psnr_env{i}']:.2f} / "
+                    f"{s[f'final_ssim_env{i}']:.3f}",
+                    osp.relpath(path, root))
 
     rl_sources = [
         ("cheetah IQL image (r2 flagship)", "docs/flagship/iql_progress.csv",

@@ -84,8 +84,13 @@ def _const_map_from_t(t: jax.Array, H: int, W: int) -> jax.Array:
     full, top, bot, left, right, c00, c02, c20, c22 = (
         t[:, i, None, None, :] for i in range(9)
     )
-    ii = jnp.arange(H, dtype=t.dtype)[None, :, None, None]
-    jj = jnp.arange(W, dtype=t.dtype)[None, None, :, None]
+    # masks compare INTEGER indices (comparing in t.dtype breaks for
+    # half precision once H/W exceed the mantissa's exact-int range:
+    # at bf16 H=1024, indices 1021..1023 all round to 1024 and the
+    # bottom-border correction would hit three rows); only the 0/1 mask
+    # is cast to the compute dtype
+    ii = jnp.arange(H)[None, :, None, None]
+    jj = jnp.arange(W)[None, None, :, None]
     ym0, ymH = (ii == 0).astype(t.dtype), (ii == H - 1).astype(t.dtype)
     xm0, xmW = (jj == 0).astype(t.dtype), (jj == W - 1).astype(t.dtype)
     # interior = full kernel sum; each border row/col misses one tap row/

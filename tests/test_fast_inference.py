@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from s2p_tpu.gan import S2PGenerator
 from s2p_tpu.gan.fast_inference import (
+    _const_map_from_t,
     conv_const_map,
     fast_apply,
     generate_rollout_fast,
@@ -43,6 +44,27 @@ def test_conv_const_map_matches_real_conv():
     out = conv_const_map(e, k, H, W)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_const_map_border_masks_exact_in_bf16_at_large_res():
+    """Border masks must compare INTEGER indices: a bf16 arange rounds
+    indices above 256 to the 2-/4-spaced grid, so (ii == H-1) built in
+    the param dtype would select several rows near the border and
+    corrupt them (regression: masks are now built from integer arange
+    and only cast afterwards)."""
+    B, F, H, W = 1, 1, 512, 512
+    # full-sum term 0; distinct values on each border/corner term
+    t = np.zeros((B, 9, F), np.float32)
+    t[:, 1:5, :] = [[1], [2], [3], [4]]       # top/bottom/left/right
+    t[:, 5:9, :] = [[10], [20], [30], [40]]   # the 4 corners
+    out = np.asarray(_const_map_from_t(jnp.asarray(t, jnp.bfloat16), H, W),
+                     np.float32)[0, :, :, 0]
+    # interior rows/cols untouched; each border correction hits EXACTLY
+    # its one row/col even though 511 is not representable-adjacent in bf16
+    assert (out[1:-1, 1:-1] == 0).all()
+    assert (out[0, 1:-1] == -1).all() and (out[-1, 1:-1] == -2).all()
+    assert (out[1:-1, 0] == -3).all() and (out[1:-1, -1] == -4).all()
+    assert out[0, 0] == -1 - 3 + 10 and out[-1, -1] == -2 - 4 + 40
 
 
 @pytest.mark.parametrize("size", [64, 100])
