@@ -1,25 +1,41 @@
 """Attribute the fast-path generator's step cost by ablation (chip probe).
 
-bench.py's round-4 sweep showed the headline plateaus at ~7.7% of the
-MXU roof and ~8.2% of the HBM roof — neither matmul- nor
-bandwidth-bound, so the time is going somewhere else (VPU pointwise
-chains, instance-norm reduction passes, the constant-map border
-scatter-adds, or op-dispatch latency inside the scan body). Profiling
-through the tunneled axon backend is unreliable, so this probe measures
-fps for the real fast path and a ladder of semantically-ablated variants
-(each removes ONE class of work); the fps deltas attribute the cost.
+bench.py's round-4 sweep plateaus at ~8% of the MXU roof and ~8% of the
+HBM roof — neither matmul- nor bandwidth-bound, so the time goes to VPU
+pointwise chains, reduction passes, or dispatch latency inside the scan
+body. Profiling through the tunneled axon backend is unreliable, so this
+probe measures fps for the real fast path and a ladder of semantically-
+ablated variants (each removes ONE class of work); the fps deltas
+attribute the cost.
 
-Ablations (each is wrong numerically — attribution only):
-  full          the real fast_apply rollout (bench.py headline path)
-  no_border     conv_const_map without the 8 border/corner scatter-adds
-  no_inorm      instance_norm replaced by identity (skips 2 reduction
-                passes + rsqrt per MATNorm)
-  no_gamma_beta MATNorm modulation replaced by relu(h) passthrough
-                (skips the mlp_gamma/mlp_beta convs — MXU work)
-  no_encoder    encoder pyramid replaced by zeros feats (skips 5 strided
-                convs; MATNorm image-half convs still run)
-  convs_only    res blocks reduced to conv_0/conv_1 (+shortcut) with no
-                MATNorm at all
+The ladder ablates the POST-FUSION path (fuse_fast_params block-level
+fusion — the production/headline configuration), so the attribution
+reflects what still costs time after the two round-4 fusion rounds. The
+session-10 ladder ablated the unfused structure; comparing those numbers
+against the fused `full` mixes the fusion win into every rung.
+
+Baselines (slower configurations, reported as speedups, not ablations):
+  fused_v1      per-norm fusion only (session-10: gamma||beta conv +
+                stacked const-map terms) — the 12,661–12,863 fps config
+  unfused       raw params, on-the-fly per-step fusion
+
+Ablations of the fused path (each is wrong numerically — attribution
+only):
+  no_border       constant-map assembled from the full-sum term only
+                  (skips the 8 border/corner mask corrections)
+  no_cmap         state-side modulation removed entirely (skips the
+                  global [B,S]x[S,9*sumF] matmul + border assembly)
+  no_shared_conv  per-block shared_cat conv over image_feat removed
+                  (hidden maps from the state side only)
+  no_inorm        instance_norm replaced by identity (skips 2 reduction
+                  passes + rsqrt per norm)
+  no_gb_conv      gamma/beta modulation removed: _modulate returns
+                  instance_norm(x) (skips the mlp_gb convs — the widest
+                  matmul class)
+  no_encoder      encoder pyramid replaced by zeros feats (skips 5
+                  strided convs; shared_cat convs still run)
+  block_convs_1x1 conv_0/conv_1 reduced to their center tap (8/9 of the
+                  res-block conv FLOPs removed; conv_s is 1x1 already)
 
 Usage: python docs/flagship2/perf_probe.py [--batch 256] [--rolls 16]
 Prints one JSON line per variant; run on the chip (CPU works at tiny
@@ -46,54 +62,66 @@ SEQ_LEN = 8
 IMAGE_SIZE = 64
 STATE_DIM = 17
 
-
-def conv_const_map_no_border(e, kernel, H, W):
-    B = e.shape[0]
-    full = e @ kernel.sum((0, 1))
-    return jnp.broadcast_to(full[:, None, None, :], (B, H, W, full.shape[-1]))
+ABLATIONS = ["no_border", "no_cmap", "no_shared_conv", "no_inorm",
+             "no_gb_conv", "no_encoder", "block_convs_1x1"]
+BASELINES = ["fused_v1", "unfused"]
 
 
-def make_variant(name: str):
-    """Monkeypatched fast_apply variant; returns a fast_apply-compatible fn."""
-    orig_ccm = fi.conv_const_map
-    orig_norm = fi.instance_norm
+def _center_tap(p):
+    """3x3 conv params reduced to the center tap (pad 0 in fi._conv)."""
+    out = dict(kernel=p["kernel"][1:2, 1:2])
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
 
-    def mat_norm_variant(x, e, image_feat, p, use_pallas=False):
-        S = e.shape[-1]
-        k = p["mlp_shared"]["kernel"]
-        H, W = x.shape[1], x.shape[2]
-        ccm = (conv_const_map_no_border if name == "no_border" else orig_ccm)
-        h_state = ccm(e, k[:, :, :S, :], H, W)
-        h_img = jax.lax.conv_general_dilated(
-            image_feat, k[:, :, S:, :], window_strides=(1, 1),
-            padding=[(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        h = jax.nn.relu(h_state + h_img + p["mlp_shared"]["bias"])
-        if name == "no_gamma_beta":
-            # skip the gamma/beta convs; project h to x's channels via mean
-            return x + h.mean(-1, keepdims=True)
-        gamma = fi._conv(h, p["mlp_gamma"])
-        beta = fi._conv(h, p["mlp_beta"])
-        xn = x if name == "no_inorm" else orig_norm(x)
+
+def make_fused_variant(name: str):
+    """fast_apply clone over BLOCK-FUSED params with one work class
+    removed. Mirrors fi.fast_apply/_res_block_fast/_block_hidden_maps/
+    _modulate; keep in sync with gan/fast_inference.py."""
+
+    def modulate_v(x, h, p):
+        if name == "no_gb_conv":
+            return fi.instance_norm(x)
+        gamma, beta = jnp.split(fi._conv(h, p["mlp_gb"]), 2, axis=-1)
+        xn = x if name == "no_inorm" else fi.instance_norm(x)
         return xn * (1.0 + gamma) + beta
 
-    def res_block_variant(x, e, image_feat, p, use_pallas=False):
-        if name == "convs_only":
-            h = jax.nn.leaky_relu(x, 0.2)
-            h = fi._conv(h, p["conv_0"])
-            h = jax.nn.leaky_relu(h, 0.2)
-            h = fi._conv(h, p["conv_1"])
-            s = fi._conv(x, p["conv_s"]) if "conv_s" in p else x
-            return s + h
-        h = mat_norm_variant(x, e, image_feat, p["norm_0"], use_pallas)
+    def block_hmaps_v(image_feat, t_blk, p, norms):
+        sc = p["shared_cat"]
+        H, W = image_feat.shape[1], image_feat.shape[2]
+        h = jnp.asarray(0.0, image_feat.dtype)
+        if name != "no_shared_conv":
+            h = h + jax.lax.conv_general_dilated(
+                image_feat, sc["kernel"], window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if name == "no_border":
+            full = t_blk[:, 0, None, None, :]
+            h = h + jnp.broadcast_to(
+                full, (t_blk.shape[0], H, W, full.shape[-1]))
+        elif name != "no_cmap":
+            h = h + fi._const_map_from_t(t_blk, H, W)
+        h = jax.nn.relu(h + sc["bias"])
+        widths = [p[n]["mlp_shared"]["bias"].shape[0] for n in norms]
+        splits = [sum(widths[: i + 1]) for i in range(len(widths) - 1)]
+        return jnp.split(h, splits, axis=-1)
+
+    def res_block_v(x, e, image_feat, p, t_blk):
+        norms = [n for n in ("norm_0", "norm_1", "norm_s") if n in p]
+        hmaps = dict(zip(norms, block_hmaps_v(image_feat, t_blk, p, norms)))
+        conv_0, conv_1 = p["conv_0"], p["conv_1"]
+        if name == "block_convs_1x1":
+            conv_0, conv_1 = _center_tap(conv_0), _center_tap(conv_1)
+        h = modulate_v(x, hmaps["norm_0"], p["norm_0"])
         h = jax.nn.leaky_relu(h, 0.2)
-        h = fi._conv(h, p["conv_0"])
-        h = mat_norm_variant(h, e, image_feat, p["norm_1"], use_pallas)
+        h = fi._conv(h, conv_0)
+        h = modulate_v(h, hmaps["norm_1"], p["norm_1"])
         h = jax.nn.leaky_relu(h, 0.2)
-        h = fi._conv(h, p["conv_1"])
+        h = fi._conv(h, conv_1)
         if "conv_s" in p:
-            s = mat_norm_variant(x, e, image_feat, p["norm_s"], use_pallas)
+            s = modulate_v(x, hmaps["norm_s"], p["norm_s"])
             s = fi._conv(s, p["conv_s"])
         else:
             s = x
@@ -123,8 +151,24 @@ def make_variant(name: str):
         hw0 = sizes[0]
         x = fi._dense(e, p["seed_fc"])
         x = x.reshape(x.shape[0], hw0, hw0, -1)
+
+        # no_cmap removes the global state matmul too (that IS part of
+        # the work class being ablated); other variants keep it
+        t_all = None
+        if name != "no_cmap":
+            t_all = jnp.einsum("bs,snf->bnf", e, p["cmap_terms_all"])
+
+        off = 0
         for i, size in enumerate(sizes):
-            x = res_block_variant(x, e, enc_by_size[size], p[f"block_{i}"])
+            blk = p[f"block_{i}"]
+            w = blk["shared_cat"]["kernel"].shape[-1]
+            if t_all is not None:
+                t_blk = jax.lax.slice_in_dim(t_all, off, off + w, axis=2)
+            else:
+                # shape-only placeholder so split widths line up
+                t_blk = jnp.zeros((x.shape[0], 9, w), x.dtype)
+            off += w
+            x = res_block_v(x, e, enc_by_size[size], blk, t_blk)
             if i < len(sizes) - 1:
                 x = fi.upsample_nearest(x, sizes[i + 1])
         x = jax.nn.leaky_relu(x, 0.2)
@@ -147,6 +191,7 @@ def main():
     prev0 = jnp.zeros((args.batch, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
     params = gen.init(key, state0, prev0)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    fused = fi.fuse_fast_params(params["params"])
 
     st = jax.random.normal(
         jax.random.PRNGKey(1),
@@ -156,17 +201,15 @@ def main():
         (args.rolls, args.batch, IMAGE_SIZE, IMAGE_SIZE, 3),
         jnp.bfloat16, minval=-1.0, maxval=1.0)
 
-    variants = ["full", "fused_v1", "unfused", "no_border", "no_inorm",
-                "no_gamma_beta", "no_encoder", "convs_only"]
+    variants = ["full"] + BASELINES + ABLATIONS
     results = {}
     for name in variants:
-        params_v = params
         if name == "full":
             # production path: params pre-fused outside the scan, as in
             # _fast_rollout (gamma||beta conv + stacked const-map terms +
             # per-block shared-conv concat + global cmap_terms_all matmul)
             apply_fn = partial(fi.fast_apply, use_pallas=False)
-            params_v = {"params": fi.fuse_fast_params(params["params"])}
+            params_v = fused
         elif name == "fused_v1":
             # session-10 fusion ONLY (gamma||beta conv + stacked terms),
             # i.e. the config behind the 12,661-12,863 fps chip records —
@@ -174,18 +217,20 @@ def main():
             # its per-norm fallback; the full-vs-fused_v1 delta
             # attributes the second fusion round
             apply_fn = partial(fi.fast_apply, use_pallas=False)
-            fp = fi.fuse_fast_params(params["params"])
+            fp = dict(fused)
             fp.pop("cmap_terms_all", None)
             fp = {k: ({kk: vv for kk, vv in v.items() if kk != "shared_cat"}
                       if k.startswith("block_") else v)
                   for k, v in fp.items()}
-            params_v = {"params": fp}
+            params_v = fp
         elif name == "unfused":
             # raw params through fast_apply (on-the-fly per-step fusion);
             # unfused-vs-full is the total pre-fusion win
             apply_fn = partial(fi.fast_apply, use_pallas=False)
+            params_v = params["params"]
         else:
-            apply_fn = make_variant(name)
+            apply_fn = make_fused_variant(name)
+            params_v = fused
 
         @jax.jit
         def run_multi(params, ini, st, apply_fn=apply_fn):
@@ -201,8 +246,7 @@ def main():
             return frames
 
         def run_once():
-            return float(jax.device_get(
-                run_multi(params_v["params"], ini, st).sum()))
+            return float(jax.device_get(run_multi(params_v, ini, st).sum()))
 
         try:
             run_once()  # compile + warmup
@@ -221,19 +265,18 @@ def main():
     if isinstance(full, (int, float)):
         # fused_v1/unfused ADD work relative to full (they are the
         # slower pre-fusion baselines, not ablations), so they belong in
-        # a speedup table, not the removed-work attribution — the
-        # "negative ~ noise" reading would mislabel the fusion win.
-        baselines = ("fused_v1", "unfused")
+        # a speedup table, not the removed-work attribution
         attrib = {k: (round(100 * (1 - full / v), 1)
                       if isinstance(v, (int, float)) and v > 0 else None)
                   for k, v in results.items()
-                  if k != "full" and k not in baselines}
+                  if k in ABLATIONS}
         print(json.dumps({"pct_step_time_attributed_to_removed_work": attrib,
-                          "note": "1 - full_fps/variant_fps per ablation; "
-                                  "negative ~ noise"}), flush=True)
+                          "note": "1 - full_fps/variant_fps per ablation of "
+                                  "the FUSED path; negative ~ noise"}),
+              flush=True)
         speedups = {k: (round(full / v, 3)
                         if isinstance(v, (int, float)) and v > 0 else None)
-                    for k, v in results.items() if k in baselines}
+                    for k, v in results.items() if k in BASELINES}
         if speedups:
             print(json.dumps({"fusion_speedup_vs_baseline": speedups,
                               "note": "full_fps / baseline_fps; >1 means "
