@@ -7,15 +7,13 @@ cd /root/repo
 set -u
 
 copy_latest() {
+  # Merges ALL run-dir fragments of the logical run (stall-resume spawns
+  # a fresh run dir holding only post-resume epochs; see
+  # merge_progress.py). Falls back to a skip message when nothing
+  # matched or every fragment is header-only.
   local glob=$1 dst=$2
-  local hits
-  hits=$(ls -1 $glob 2>/dev/null | sort | tail -1)
-  if [ -n "$hits" ] && [ -f "$hits" ]; then
-    cp "$hits" "$dst"
-    echo "collected $hits -> $dst"
-  else
-    echo "skip (no output yet): $glob"
-  fi
+  python docs/flagship2/merge_progress.py "$glob" "$dst" \
+    || echo "skip (no output yet): $glob"
 }
 
 copy_latest "runs/flagship2/cheetah2r1_gan_logs/*/*/progress.csv" \
