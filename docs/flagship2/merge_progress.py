@@ -32,25 +32,18 @@ def merge(pattern: str, dst: str) -> int:
         return 3
 
     header = frags[-1][1][0]
-    try:
-        epoch_col = header.index("epoch")
-    except ValueError:
-        epoch_col = None
+    mismatched = [p for p, rows in frags if rows[0] != header]
+    if mismatched:
+        # schema changed between fragments (different variant) — that is
+        # a different logical run; keep only the newest fragment
+        print(f"merge_progress: header mismatch in {', '.join(mismatched)}"
+              f"; using newest fragment only", file=sys.stderr)
+        frags = frags[-1:]
+    epoch_col = header.index("epoch") if "epoch" in header else None
 
     merged: dict = {}
     order: list = []
-    for p, rows in frags:
-        if rows[0] != header:
-            # schema changed between fragments (different variant) —
-            # that is a different logical run; keep only the newest
-            print(f"merge_progress: header mismatch in {p}; "
-                  f"using newest fragment only", file=sys.stderr)
-            merged.clear()
-            order.clear()
-            header = rows[0]
-            epoch_col = (header.index("epoch")
-                         if "epoch" in header else None)
-            rows = frags[-1][1]
+    for _, rows in frags:
         for row in rows[1:]:
             key = row[epoch_col] if epoch_col is not None else len(order)
             if key not in merged:
