@@ -49,7 +49,7 @@ TIMED_ITERS = 5
 # dispatch-amortization sweep (--sweep only): batch sizes × rollouts folded
 # into one dispatch.
 SWEEP_BATCHES = (256, 1024, 4096)
-SWEEP_ROLLS = (1, 4, 16, 64)
+SWEEP_ROLLS = (1, 4, 16, 64, 96)  # r=96 fits the b256 frame budget (4.8 GB)
 # the frame stack is a materialized jit output [R,T,B,H,W,C]; skip cells
 # whose output alone would crowd the 16 GB HBM (4096x16 would be 12.9 GB)
 SWEEP_MAX_FRAME_BYTES = 6e9
