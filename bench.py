@@ -360,7 +360,7 @@ def main() -> None:
     # device_get instead.
     def measure(use_pallas: bool, batch: int = None, rolls: int = 1,
                 block_fusion: bool = True, warmup: int = None,
-                timed: int = None) -> float:
+                timed: int = None, gb_int8: bool = False) -> float:
         """frames/sec at the given batch with ``rolls`` independent
         rollouts folded into one dispatch (outer lax.scan; amortizes the
         per-dispatch host→device cost the same way the augment generator
@@ -383,12 +383,12 @@ def main() -> None:
         # config pays the same HBM materialization the real augment
         # workload pays — summing inside the jit would let XLA elide the
         # frame writes and flatter the multi-rollout cells
-        @partial(jax.jit, static_argnums=(3, 4))
-        def run_multi(params, ini, st, use_pallas, block_fusion):
+        @partial(jax.jit, static_argnums=(3, 4, 5))
+        def run_multi(params, ini, st, use_pallas, block_fusion, gb_int8):
             def one(_, inp):
                 i0, s = inp
                 frames = _fast_rollout_traced(gen, params, i0, s, use_pallas,
-                                              block_fusion)
+                                              block_fusion, gb_int8)
                 return (), frames
             _, frames = jax.lax.scan(one, (), (ini, st))
             return frames  # [R, T, B, H, W, C], materialized
@@ -397,9 +397,11 @@ def main() -> None:
             if rolls == 1:
                 frames = generate_rollout(gen, params, ini[0], st[0],
                                           use_pallas=use_pallas,
-                                          block_fusion=block_fusion)
+                                          block_fusion=block_fusion,
+                                          gb_int8=gb_int8)
             else:
-                frames = run_multi(params, ini, st, use_pallas, block_fusion)
+                frames = run_multi(params, ini, st, use_pallas, block_fusion,
+                                   gb_int8)
             return float(jax.device_get(frames.sum()))
 
         for _ in range(n_warm):
@@ -473,7 +475,29 @@ def main() -> None:
 
     use_pallas = False
     pallas_ab = None
+    gb_int8_ab = None
     if sweep_mode and on_tpu:
+        # int8 γ/β A/B on the headline cell (fusion round 3, opt-in path:
+        # int8 weights + dynamic activation quant, int32 accumulation;
+        # quality bar tested at ≥40 dB PSNR vs the float path in
+        # tests/test_fast_inference.py). Reported, and adopted for the
+        # headline ONLY if it wins (the JSON labels the path).
+        try:
+            fps_i8 = measure(use_pallas=False, batch=hl_batch,
+                             rolls=hl_rolls, warmup=1, timed=3,
+                             gb_int8=True)
+            gb_int8_ab = {
+                "bf16_fps": round(fps_hl, 2),
+                "int8_fps": round(fps_i8, 2),
+                "speedup": round(fps_i8 / fps_hl, 3),
+                "adopted": bool(fps_i8 > fps_hl),
+                "note": "opt-in int8 γ/β modulation convs "
+                        "(~51 dB PSNR vs float path on random init)",
+            }
+            if gb_int8_ab["adopted"]:
+                note_cell(hl_batch, hl_rolls, fps_i8, path="gb_int8")
+        except Exception as e:
+            gb_int8_ab = {"error": type(e).__name__}
         # Pallas A/B on the anchor cell (historically 0.74-0.83x — kept
         # as a measured negative, not adopted)
         try:
@@ -607,6 +631,7 @@ def main() -> None:
             "seq_len": SEQ_LEN,
         },
         "pallas_ab": pallas_ab,
+        "gb_int8_ab": gb_int8_ab,
         "flops_per_frame": (
             round(flops_per_frame) if flops_per_frame else None
         ),

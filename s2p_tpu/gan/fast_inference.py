@@ -114,8 +114,18 @@ def conv_const_map(e: jax.Array, kernel: jax.Array, H: int, W: int) -> jax.Array
     return _const_map_apply(e, _const_map_terms(kernel), H, W)
 
 
+def _quantize_gb_kernel(kernel: jax.Array) -> Dict[str, Any]:
+    """Per-output-channel symmetric int8 quantization of a γ‖β conv
+    kernel [3,3,Cin,N] → int8 weights + f32 dequant scale [N]."""
+    absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(kernel.astype(jnp.float32) / scale), -127, 127)
+    return {"kernel_i8": q.astype(jnp.int8), "scale_w": scale}
+
+
 def fuse_fast_params(params: Dict[str, Any],
-                     block_level: bool = True) -> Dict[str, Any]:
+                     block_level: bool = True,
+                     gb_int8: bool = False) -> Dict[str, Any]:
     """Precompute the fused operands the fast path consumes, once,
     OUTSIDE the rollout scan (returns a copy; the original leaves stay
     so the flax apply/convert paths are unaffected):
@@ -147,20 +157,32 @@ def fuse_fast_params(params: Dict[str, Any],
     level concat materializes a hidden map 2–3× wider per block (~3×128
     ch at the base resolution), which exhausts HBM at very large batch
     (observed: batch 4096 on v5e). Memory-pressure callers trade the
-    ~+3% block-fusion win for a 3× smaller peak hidden-map footprint."""
+    ~+3% block-fusion win for a 3× smaller peak hidden-map footprint.
+
+    ``gb_int8=True`` additionally pre-quantizes each fused γ‖β kernel to
+    per-output-channel int8 (``mlp_gb_q``) for the opt-in int8
+    modulation path (v5e's MXU doubles int8 throughput; the γ/β convs
+    are 76% of the post-fusion step, docs/E2E_RESULTS.md session-19).
+    NOT the default: output differs from bf16 by quantization noise —
+    adoption is gated on the measured fps AND quality A/B
+    (docs/flagship2/gb_probe.py, gb_int8_ab.py)."""
     def fuse_norm(n: Dict[str, Any], S: int) -> Dict[str, Any]:
         k = n["mlp_shared"]["kernel"]
-        return dict(
+        gb_kernel = jnp.concatenate(
+            [n["mlp_gamma"]["kernel"], n["mlp_beta"]["kernel"]], -1)
+        fused = dict(
             n,
             mlp_gb=dict(
-                kernel=jnp.concatenate(
-                    [n["mlp_gamma"]["kernel"], n["mlp_beta"]["kernel"]], -1),
+                kernel=gb_kernel,
                 bias=jnp.concatenate(
                     [n["mlp_gamma"]["bias"], n["mlp_beta"]["bias"]], -1),
             ),
             cmap_terms=_const_map_terms(k[:, :, :S, :]),
             k_img=k[:, :, S:, :],
         )
+        if gb_int8:
+            fused["mlp_gb_q"] = _quantize_gb_kernel(gb_kernel)
+        return fused
 
     S = params["state_fc1"]["kernel"].shape[-1]
     out = dict(params)
@@ -189,7 +211,7 @@ def fuse_fast_params(params: Dict[str, Any],
 
 def _mat_norm_fast(
     x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any],
-    use_pallas: bool = False,
+    use_pallas: bool = False, gb_int8: bool = False,
 ) -> jax.Array:
     """MATNorm with the shared conv split: state half via the constant-map
     shortcut, image half as a real conv (mat_mode='mat' layout: cond =
@@ -211,15 +233,38 @@ def _mat_norm_fast(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     h = jax.nn.relu(h_state + h_img + p["mlp_shared"]["bias"])
-    return _modulate(x, h, p, use_pallas)
+    return _modulate(x, h, p, use_pallas, gb_int8)
+
+
+def _conv_gb_int8(h: jax.Array, q: Dict[str, Any],
+                  bias: jax.Array) -> jax.Array:
+    """γ‖β conv with int8 weights AND dynamically-quantized activations
+    (per-sample symmetric absmax scale), int32 MXU accumulation, f32
+    dequant. K-depth 9·128=1152 is exact in int32; the only error is the
+    two operands' 8-bit rounding."""
+    s_h = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(1, 2, 3),
+                  keepdims=True)
+    s_h = jnp.maximum(s_h, 1e-12) / 127.0
+    qh = jnp.clip(jnp.round(h.astype(jnp.float32) / s_h), -127, 127)
+    acc = jax.lax.conv_general_dilated(
+        qh.astype(jnp.int8), q["kernel_i8"], window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (s_h * q["scale_w"]) + bias
+    return out.astype(h.dtype)
 
 
 def _modulate(
     x: jax.Array, h: jax.Array, p: Dict[str, Any], use_pallas: bool = False,
+    gb_int8: bool = False,
 ) -> jax.Array:
     """γ/β conv over the norm's hidden map ``h``, then the modulated
     instance norm (the tail of MATNorm after mlp_shared+relu)."""
-    if "mlp_gb" in p:
+    if gb_int8 and "mlp_gb_q" in p:
+        gb = _conv_gb_int8(h, p["mlp_gb_q"], p["mlp_gb"]["bias"])
+    elif "mlp_gb" in p:
         gb = _conv(h, p["mlp_gb"])
     else:
         gb = _conv(h, dict(
@@ -261,14 +306,16 @@ def _block_hidden_maps(
 def _res_block_fast(
     x: jax.Array, e: jax.Array, image_feat: jax.Array, p: Dict[str, Any],
     use_pallas: bool = False, t_blk: jax.Array | None = None,
+    gb_int8: bool = False,
 ) -> jax.Array:
     if t_blk is not None and "shared_cat" in p:
         norms = [n for n in ("norm_0", "norm_1", "norm_s") if n in p]
         hmaps = dict(zip(norms, _block_hidden_maps(image_feat, t_blk, p, norms)))
-        mat_norm = lambda x, n: _modulate(x, hmaps[n], p[n], use_pallas)
+        mat_norm = lambda x, n: _modulate(x, hmaps[n], p[n], use_pallas,
+                                          gb_int8)
     else:
         mat_norm = lambda x, n: _mat_norm_fast(x, e, image_feat, p[n],
-                                               use_pallas)
+                                               use_pallas, gb_int8)
     h = mat_norm(x, "norm_0")
     h = jax.nn.leaky_relu(h, 0.2)
     h = _conv(h, p["conv_0"])
@@ -286,10 +333,12 @@ def _res_block_fast(
 def fast_apply(
     gen: S2PGenerator, variables: Dict[str, Any],
     state: jax.Array, prev_image: jax.Array,
-    use_pallas: bool = False,
+    use_pallas: bool = False, gb_int8: bool = False,
 ) -> jax.Array:
     """Drop-in for ``gen.apply(variables, state, prev_image)`` (mat_mode
-    'mat' only); same params, same output up to float re-association."""
+    'mat' only); same params, same output up to float re-association
+    (``gb_int8`` additionally introduces 8-bit quantization noise in the
+    γ/β maps — opt-in, see fuse_fast_params)."""
     assert gen.mat_mode == "mat", "fast path specializes the MAT layout"
     p = variables["params"]
     sizes = gen.sizes
@@ -327,7 +376,8 @@ def fast_apply(
             w = blk["shared_cat"]["kernel"].shape[-1]
             t_blk = jax.lax.slice_in_dim(t_all, off, off + w, axis=2)
             off += w
-        x = _res_block_fast(x, e, enc_by_size[size], blk, use_pallas, t_blk)
+        x = _res_block_fast(x, e, enc_by_size[size], blk, use_pallas, t_blk,
+                            gb_int8)
         if i < len(sizes) - 1:
             x = upsample_nearest(x, sizes[i + 1])
 
@@ -336,21 +386,22 @@ def fast_apply(
     return jnp.tanh(x)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _fast_rollout(gen, variables, init_image, states, use_pallas=False,
-                  block_fusion=True):
+                  block_fusion=True, gb_int8=False):
     """seq_len autoregressive generation with the fast apply
     (gan/rollout.py::generate_rollout contract: states [T, B, S]).
 
     Params are pre-fused ONCE here, outside the scan, so the per-step
     body never re-concatenates loop-invariant kernels. ``block_fusion``
     toggles the block-level concat fusion (see fuse_fast_params): turn
-    it off under HBM pressure at very large batch."""
+    it off under HBM pressure at very large batch. ``gb_int8`` routes
+    the γ/β convs through the opt-in int8 path."""
     variables = dict(variables, params=fuse_fast_params(
-        variables["params"], block_level=block_fusion))
+        variables["params"], block_level=block_fusion, gb_int8=gb_int8))
 
     def step(img, s):
-        nxt = fast_apply(gen, variables, s, img, use_pallas)
+        nxt = fast_apply(gen, variables, s, img, use_pallas, gb_int8)
         return nxt, nxt
 
     _, frames = jax.lax.scan(step, init_image, states)
@@ -359,6 +410,7 @@ def _fast_rollout(gen, variables, init_image, states, use_pallas=False,
 
 def generate_rollout_fast(gen, variables, init_image, states,
                           use_pallas: bool = False,
-                          block_fusion: bool = True):
+                          block_fusion: bool = True,
+                          gb_int8: bool = False):
     return _fast_rollout(gen, variables, init_image, states, use_pallas,
-                         block_fusion)
+                         block_fusion, gb_int8)

@@ -136,3 +136,35 @@ def test_fast_rollout_matches_scan_rollout():
     # autoregressive error compounds over steps; final frame stays close
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_gb_int8_path_close_and_optin():
+    """Opt-in int8 γ/β path (fusion round 3): per-channel int8 weights +
+    per-sample dynamically quantized activations, int32 accumulation.
+    Quality bar: ≥40 dB PSNR vs the float fast path (measured ~51 dB) —
+    far below the GAN's own ~30 dB reconstruction noise floor. The
+    default (bf16) path must be bit-identical with the quantized
+    operands merely present."""
+    from s2p_tpu.gan.fast_inference import fuse_fast_params
+
+    gen, variables, s, img = _setup(64)
+    pf = fuse_fast_params(variables["params"], gb_int8=True)
+    ref = fast_apply(gen, variables, s, img)
+    out = fast_apply(gen, dict(variables, params=pf), s, img, gb_int8=True)
+    mse = float(jnp.mean((ref - out) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+    out_bf16 = fast_apply(gen, dict(variables, params=pf), s, img,
+                          gb_int8=False)
+    np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_gb_int8_rollout_runs():
+    gen, variables, s, img = _setup(64)
+    states = jnp.stack([s, s * 0.5])
+    r_int8 = generate_rollout_fast(gen, variables, img, states,
+                                   gb_int8=True)
+    r_ref = generate_rollout_fast(gen, variables, img, states)
+    mse = float(jnp.mean((r_ref - r_int8) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 38.0
