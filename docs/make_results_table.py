@@ -176,9 +176,12 @@ def main(out_path="docs/RESULTS_TABLE.md"):
          "data policy ~250; same-dataset fixed arm for the Lagrange A/B "
          "(the r3 fixed arm ran on the pre-wipe dataset generation)",
          "runs/flagship2/rl_logs/cql_state_entropy_fixed_r4"),
-        ("walker CQL image (r4)",
+        # label is completeness-aware below: the r4 run was killed at
+        # epoch -47 by VM recreation #5 (VERDICT r4 weak #2 — a partial
+        # run must not be presented as completing the 2x2 matrix)
+        ("walker CQL image",
          "docs/flagship2/walker_cql_progress.csv",
-         "data policy ~281; completes the 2x2 env x algo matrix",
+         "data policy ~281; fourth cell of the 2x2 env x algo matrix",
          "runs/flagship2/walker_rl_logs/cql_image_walker"),
         ("walker IQL image (regenerated dataset, r4)",
          "docs/flagship2/walker_iql_r4_progress.csv",
@@ -199,6 +202,19 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         s = rl_summary(path)
         if s is None:
             continue
+        if label == "walker CQL image":
+            # protocol is 151 epochs (-150..0); anything shorter is a
+            # partial run and must say so (VERDICT r4 weak #2)
+            rows = gan_rows(path)
+            last_ep = rows[-1].get("epoch", "?")
+            if len(rows) >= 151:
+                label = "walker CQL image (r5, full 151-epoch protocol)"
+                note += "; completes the 2x2 env x algo matrix"
+            else:
+                label = (f"walker CQL image (PARTIAL: epochs -150..{last_ep}"
+                         f" of -150..0, killed by VM recreation)")
+                note += ("; strong signal but NOT a completed protocol — "
+                         "final/best are within the partial range only")
         add(label, f"eval return (final / last-5 mean / best) — {note}",
             f"{s['final_ret']:.1f} / {s['last5_mean']:.1f} / "
             f"{s['best_ret']:.1f}", osp.relpath(path, root))
