@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --fast_inference: route the MAT norm+"
                         "modulation through the fused Pallas VMEM kernel "
                         "(gan/pallas_kernels.py; TPU only, A/B vs plain)")
+    p.add_argument("--gb_int8", action="store_true",
+                   help="with --fast_inference: int8 γ/β modulation convs "
+                        "(per-channel int8 weights + dynamic activation "
+                        "quant, int32 accumulation; ~51 dB PSNR vs the "
+                        "float path — opt-in speed/quality trade)")
     return p
 
 
@@ -116,7 +121,8 @@ def main(argv: Optional[list] = None) -> str:
         from s2p_tpu.gan.fast_inference import generate_rollout_fast
 
         frames = generate_rollout_fast(gen, variables, init_img, roll_states,
-                                       use_pallas=args.use_pallas)
+                                       use_pallas=args.use_pallas,
+                                       gb_int8=args.gb_int8)
     else:
         frames = generate_rollout(gen, variables, init_img, roll_states)
     frames = np.asarray(jax.device_get(frames))[:, 0]  # [L, H, W, C]

@@ -104,6 +104,25 @@ def test_simple_test_cli_init_random(tiny_hdf5, tmp_path):
 
 
 @pytest.mark.slow
+def test_simple_test_cli_gb_int8(tiny_hdf5, tmp_path):
+    """--fast_inference --gb_int8 drives the opt-in int8 modulation path
+    end to end through the generation CLI."""
+    from s2p_tpu.cli.simple_test import main as gen_main
+
+    out_dir = gen_main([
+        "--dataroot", tiny_hdf5,
+        "--start_idx", "2",
+        "--seq_len", "2",
+        "--ngf", "8",
+        "--init_random",
+        "--fast_inference",
+        "--gb_int8",
+        "--results_dir", str(tmp_path / "results"),
+    ])
+    assert any(f.startswith("gen_") for f in os.listdir(out_dir))
+
+
+@pytest.mark.slow
 def test_train_gan_resume(tiny_hdf5, tmp_path):
     """Orbax resume: a second invocation with --resume_dir continues from
     the saved epoch instead of restarting (SURVEY §5.4 aux subsystem)."""
