@@ -99,7 +99,7 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         ("cheetah GAN (entropy dataset, +R1, r4)",
          "docs/flagship2/cheetah2r1_gan_progress.csv",
          "runs/flagship2/cheetah2r1_gan_logs"),
-        ("walker GAN (+R1, regenerated dataset, r4)",
+        ("walker GAN (+R1, regenerated dataset, r4/r5 rerun)",
          "docs/flagship2/walker_r1_gan_progress.csv",
          "runs/flagship2/walker_r1_gan_logs"),
         ("multi-env GAN (cheetah+walker, +R1, r4)",
