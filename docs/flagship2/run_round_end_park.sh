@@ -62,6 +62,12 @@ for f in /tmp/queue.pid /tmp/park_targets.pids /tmp/park_extra.pids; do
 done
 sleep 15
 
+# resume the SIGSTOPped full test suite (paused mid-round so the chip
+# queue's host-side eval sampling wasn't starved on the 1-core box)
+if [ -f /tmp/full_suite.pid ] && kill -0 "$(cat /tmp/full_suite.pid)" 2>/dev/null; then
+  kill -CONT "$(cat /tmp/full_suite.pid)" && echo "=== resumed full suite ==="
+fi
+
 echo "=== [$(date -u +%H:%M:%S)] chip freed — refresh bench record ==="
 if timeout 500 python -u bench.py > runs/flagship2/bench_park.log 2>&1; then
   echo "=== bench refresh OK: $(tail -c 300 runs/flagship2/bench_park.log | head -c 200) ==="
