@@ -203,12 +203,15 @@ def main(out_path="docs/RESULTS_TABLE.md"):
         if s is None:
             continue
         if label == "walker CQL image":
-            # protocol is 151 epochs (-150..0); anything shorter is a
-            # partial run and must say so (VERDICT r4 weak #2)
+            # the full offline protocol is 150 epochs of 2000 steps
+            # (-150..-1; every completed run in docs/flagship2 has 150
+            # rows); anything shorter is a partial run and must say so
+            # (VERDICT r4 weak #2)
             rows = gan_rows(path)
             last_ep = rows[-1].get("epoch", "?")
-            if len(rows) >= 151:
-                label = "walker CQL image (r5, full 151-epoch protocol)"
+            if len(rows) >= 150:
+                label = ("walker CQL image (r5, full 150-epoch protocol, "
+                         "300k grad steps)")
                 note += "; completes the 2x2 env x algo matrix"
             else:
                 label = (f"walker CQL image (PARTIAL: epochs -150..{last_ep}"
