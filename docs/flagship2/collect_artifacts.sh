@@ -44,3 +44,7 @@ copy_latest "runs/flagship2/walker_rl_logs/iql_image_walker_flagship/*/progress.
 
 python docs/make_results_table.py
 python docs/compare_lagrange.py --out docs/LAGRANGE_AB.md >/dev/null || true
+# round-5 thresh sweep: compare_lagrange REWRITES LAGRANGE_AB.md, so the
+# sweep table + verdict are re-appended from their generators each time
+python docs/flagship2/lagrange_sweep_report.py >/dev/null 2>&1 || true
+cat docs/flagship2/lagrange_sweep_verdict.md >> docs/LAGRANGE_AB.md 2>/dev/null || true
