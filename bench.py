@@ -259,6 +259,17 @@ def _save_chip_record(result: dict) -> None:
         }
         rec.update(stripped)
         rec["latest"] = latest
+        # a headline-mode run measures 2 cells; don't let it evict the
+        # most recent FULL sweep curve from the record
+        if result.get("mode") == "headline" and prev is not None:
+            prev_cells = prev.get("fps_vs_batch") or []
+            if len(prev_cells) > len(result.get("fps_vs_batch") or []):
+                rec["last_full_sweep"] = {
+                    "measured_utc": prev.get("measured_utc"),
+                    "fps_vs_batch": prev_cells,
+                    "pallas_ab": prev.get("pallas_ab"),
+                    "gb_int8_ab": prev.get("gb_int8_ab"),
+                }
     try:
         with open(_repo_path(CHIP_RECORD_PATH), "w") as f:
             json.dump(rec, f, indent=2)

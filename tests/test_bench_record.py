@@ -110,3 +110,24 @@ def test_committed_record_is_chip_provenance():
     assert rec["unit"] == "frames/sec/chip"
     assert "cpu" not in rec["backend"].lower()
     assert rec["value"] > 1000  # a CPU fallback could never hit this
+
+
+def test_chip_record_headline_best_keeps_last_full_sweep(tmp_path, monkeypatch):
+    """A 2-cell headline-mode run that becomes the new best must not
+    evict the most recent full sweep curve from the record."""
+    bench = _load_bench_module()
+    monkeypatch.setattr(
+        bench, "CHIP_RECORD_PATH", str(tmp_path / "rec.json"))
+    sweep_cells = [{"batch": b, "rollouts_per_dispatch": r, "fps": 1.0}
+                   for b in (256, 1024) for r in (1, 4, 16)]
+    bench._save_chip_record({"metric": "m", "value": 13963.0,
+                             "mode": "sweep", "fps_vs_batch": sweep_cells,
+                             "pallas_ab": {"speedup": 0.72},
+                             "gb_int8_ab": {"speedup": 0.914}})
+    bench._save_chip_record({"metric": "m", "value": 13969.0,
+                             "mode": "headline",
+                             "fps_vs_batch": sweep_cells[:2]})
+    rec = bench._load_chip_record()
+    assert rec["value"] == 13969.0
+    assert len(rec["last_full_sweep"]["fps_vs_batch"]) == len(sweep_cells)
+    assert rec["last_full_sweep"]["gb_int8_ab"]["speedup"] == 0.914
